@@ -1,0 +1,20 @@
+"""ISP ops: Bayer pack/unpack, CFA normalization, sRGB renders.
+
+TPU-native rebuild of the reference's L1 layer (utils/isp_ops.py,
+utils/sidd_utils.py). Everything here is pure jnp (jit/vmap/grad-safe) with
+trailing-channel (NHWC) layout; host-side numpy twins are provided where a
+function naturally runs on the IO path.
+"""
+from .bayer import (
+    bayer2rggb, rggb2bayer, bayer_aug, rot_bayer_k, rot_bayer, flip_bayer,
+    bayer2rows, rows2bayer, bayer2gray,
+)
+from .render import fast_isp, simple_isp, process_rggb, process_sidd_image
+from .metadata import read_sidd_metadata
+
+__all__ = [
+    "bayer2rggb", "rggb2bayer", "bayer_aug", "rot_bayer_k", "rot_bayer",
+    "flip_bayer", "bayer2rows", "rows2bayer", "bayer2gray",
+    "fast_isp", "simple_isp", "process_rggb", "process_sidd_image",
+    "read_sidd_metadata",
+]

@@ -1,0 +1,20 @@
+"""Noise-level estimation: fused box-filter statistics, adaptive flat-region
+threshold, masked least-squares Poisson-Gaussian fit.
+
+TPU-native rebuild of the reference NLE stack: `stdfilt` (isp_algos.py:234),
+`get_threshold` score3 (YOND_SIDD.py:22-49), `polyfit` (isp_algos.py:345),
+`SelfNLF`/`CollabNLF` (YOND_SIDD.py:62-115). The whole estimate runs as one
+jitted device computation with static shapes: variable-length flat-region
+masking becomes masked weighted sums, and the score3 occupied-histogram scan
+becomes a segment-min over brightness buckets.
+"""
+from .boxfilter import box_mean, stdfilt, varfilt
+from .threshold import adaptive_threshold_score3
+from .fit import masked_linefit
+from .nlf import self_nlf, collab_nlf, simple_nlf
+
+__all__ = [
+    "box_mean", "stdfilt", "varfilt",
+    "adaptive_threshold_score3", "masked_linefit",
+    "self_nlf", "collab_nlf", "simple_nlf",
+]

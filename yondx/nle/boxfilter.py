@@ -1,0 +1,78 @@
+"""Separable box-filter statistics matching cv2.blur semantics.
+
+cv2.blur uses BORDER_REFLECT_101 by default (edge pixel not duplicated),
+which is numpy/jnp `mode='reflect'`. The reference computes local std as
+sqrt(max(E[x^2] - E[x]^2, 0)) from two blurs (stdfilt, isp_algos.py:234-242).
+
+Implementation: two 1-D depthwise convolutions (k taps each). For the NLE
+window k=29 over multi-megapixel planes this is bandwidth-bound and fuses
+well under XLA; a fused Pallas mean+var kernel lives in yondx.nle.pallas_ops
+for the perf path.
+
+Layout: [..., H, W, C] (trailing channels) or [..., H, W].
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _sep_blur(x, k: int):
+    """Mean filter with reflect-101 border on the two trailing-but-one dims.
+
+    x: [..., H, W, C]. Returns same shape, float32.
+    """
+    pad = k // 2
+    # pad H and W with reflect
+    pad_cfg = [(0, 0)] * (x.ndim - 3) + [(pad, pad), (pad, pad), (0, 0)]
+    xp = jnp.pad(x, pad_cfg, mode="reflect")
+    # collapse leading dims + channels into the batch for a depthwise 1-D conv
+    lead = x.shape[:-3]
+    H, W, C = x.shape[-3:]
+    Hp, Wp = H + 2 * pad, W + 2 * pad
+    y = xp.reshape((-1, Hp, Wp, C))
+    y = jnp.moveaxis(y, -1, 1).reshape((-1, 1, Hp, Wp))  # [B*C, 1, Hp, Wp]
+    # HIGHEST precision: on TPU the default conv path multiplies in
+    # bfloat16, which costs ~3 decimal digits on the variance estimates the
+    # NLE fit consumes. These convs are bandwidth-bound anyway.
+    kern = jnp.full((1, 1, k, 1), 1.0 / k, y.dtype)
+    y = lax.conv_general_dilated(y, kern, (1, 1), "VALID",
+                                 precision=lax.Precision.HIGHEST)
+    kern2 = jnp.full((1, 1, 1, k), 1.0 / k, y.dtype)
+    y = lax.conv_general_dilated(y, kern2, (1, 1), "VALID",
+                                 precision=lax.Precision.HIGHEST)
+    y = y.reshape((-1, C, H, W))
+    y = jnp.moveaxis(y, 1, -1)
+    return y.reshape(lead + (H, W, C))
+
+
+def box_mean(x, k: int):
+    """cv2.blur(x, (k, k)) equivalent.
+
+    [H, W] is treated as a single plane; ndim >= 3 is [..., H, W, C].
+    """
+    if x.ndim == 2:
+        return _sep_blur(x[..., None], k)[..., 0]
+    return _sep_blur(x, k)
+
+
+def varfilt(x, k: int):
+    """Local variance E[x^2] - E[x]^2 (reference varfilt, isp_algos.py:245)."""
+    m = box_mean(x, k)
+    m2 = box_mean(x * x, k)
+    return m2 - m * m
+
+
+def stdfilt(x, k: int):
+    """Local std sqrt(max(var, 0)) (reference stdfilt, isp_algos.py:234)."""
+    return jnp.sqrt(jnp.maximum(varfilt(x, k), 0.0))
+
+
+def np_box_mean(x: np.ndarray, k: int) -> np.ndarray:
+    """Host twin via cv2 (bit-compatible with the reference's cv2.blur)."""
+    import cv2
+    return cv2.blur(x, (k, k))

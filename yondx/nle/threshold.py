@@ -1,0 +1,47 @@
+"""Adaptive flat-region threshold, score3 mode (reference get_threshold,
+YOND_SIDD.py:22-49).
+
+Reference semantics: candidate thresholds = percentiles of the texture map
+at quants = linspace(step, 100, 100//step); each candidate th is scored
+th / (quant * npeaks) where npeaks = number of occupied 1000-bin brightness
+buckets among pixels with texture <= th; pick the argmin over candidates
+[1:]. Intuition: prefer low-texture thresholds that still cover many
+distinct brightness levels (so the var~mean line fit is well-conditioned).
+
+TPU-native formulation: instead of a Python loop re-bincounting per
+candidate, compute per-bucket *minimum texture* once (segment_min); bucket b
+is occupied at threshold th iff min_texture[b] <= th, so
+npeaks(th) = sum(min_texture <= th) — one O(N) pass + a tiny [n_q x 1001]
+comparison. Identical result, fully static shapes, jit-safe.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NBINS = 1000
+
+
+def adaptive_threshold_score3(texture, mean, step: int = 5):
+    """Returns (th, quant_percent) — jit-safe.
+
+    texture, mean: same-shape arrays (any rank; flattened internally).
+    """
+    data = texture.reshape(-1)
+    m = mean.reshape(-1)
+    n_q = 100 // step
+    quants = jnp.linspace(step, 100, n_q, endpoint=True)
+    ths = jnp.percentile(data, quants, method="linear")
+
+    # .astype(int) truncation on clip(0,1)*1000 -> buckets 0..1000
+    buckets = jnp.clip(m, 0.0, 1.0) * NBINS
+    buckets = buckets.astype(jnp.int32)
+    min_tex = jax.ops.segment_min(
+        data, buckets, num_segments=NBINS + 1, indices_are_sorted=False)
+    # empty buckets get +inf from segment_min -> never counted
+    npeaks = jnp.sum(min_tex[None, :] <= ths[:, None], axis=1).astype(
+        data.dtype)
+    npeaks = jnp.maximum(npeaks, 1.0)
+    score = ths / (quants * npeaks)
+    i = jnp.argmin(score[1:]) + 1
+    return ths[i], quants[i]
