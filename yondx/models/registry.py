@@ -1,0 +1,64 @@
+"""Model registry: YAML arch name -> Flax module.
+
+Replaces the reference's `globals()[arch['name']](arch)` dispatch
+(trainer_AWGN.py:19, YOND_SIDD.py:177) with an explicit mapping. Names match
+the reference YAML runfiles exactly.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import unets, comp
+
+MODEL_REGISTRY = {
+    "UNetSeeInDark": unets.UNetSeeInDark,
+    "ResUnet": unets.ResUnet,
+    "ResUnet2": unets.ResUnet2,
+    "SNRnet": unets.SNRnet,
+    "GuidedResUnet": unets.GuidedResUnet,
+    "EstUnet": unets.EstUnet,
+    "DnCNN": comp.DnCNN,
+    "est_UNet": comp.est_UNet,
+    "FBI_Net": comp.FBI_Net,
+    "SelfSupUNet": comp.SelfSupUNet,
+    "SelfResUNet": comp.SelfResUNet,
+    "GuidedSelfUnet": comp.GuidedSelfUnet,
+    "N2NF_Unet": comp.N2NF_Unet,
+}
+
+# Models whose __call__ takes (x, t); mirrors `'guided' in arch` checks
+# (trainer_AWGN.py:101, YOND_SIDD.py:283).
+GUIDED_MODELS = {"GuidedResUnet", "SNRnet", "GuidedSelfUnet"}
+
+
+def build_model(arch: Dict[str, Any], dtype=None):
+    """arch: the YAML `arch:` block (must contain 'name')."""
+    name = arch["name"]
+    if name not in MODEL_REGISTRY:
+        raise KeyError(f"Unknown arch name {name!r}; known: "
+                       f"{sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name](args=arch, dtype=dtype)
+
+
+def is_guided(arch: Dict[str, Any]) -> bool:
+    return arch.get("guided", arch["name"] in GUIDED_MODELS)
+
+
+def init_params(model, rng, input_shape: Tuple[int, ...],
+                guided: bool | None = None):
+    """Initialize params with a dummy batch. input_shape: [B, h, w, C]."""
+    x = jnp.zeros(input_shape, jnp.float32)
+    if guided is None:
+        guided = model.__class__.__name__ in GUIDED_MODELS
+    if guided:
+        t = jnp.full((input_shape[0],), 0.1, jnp.float32)
+        return model.init(rng, x, t)
+    return model.init(rng, x)
+
+
+def param_count(params) -> int:
+    return int(sum(np.prod(p.shape) for p in jax.tree.leaves(params)))

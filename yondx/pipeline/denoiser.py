@@ -1,0 +1,127 @@
+"""Fused VST denoiser: one jit for scale -> bias -> VST -> normalize ->
+network -> un-normalize -> inverse VST -> rescale.
+
+Reference semantics (VST_Denoiser, YOND_SIDD.py:250-299):
+- work in DN units x*scale, scale = (wp-bl)/ratio;
+- bias map from the 2-D LUT at (x e-, sigma e-), subtracted *before*
+  denoising when bias_corr='pre' (:261-262);
+- normalize VST output to [0,1] by [VST(0), VST(scale)]; the guidance
+  scalar t = nsr * sigma_corr where nsr = 1/(upper-lower) and
+  sigma_corr=1.03 for the 'pre' path (:283-288);
+- inverse is exact-unbiased only when no bias correction was applied and
+  vst_type='exact' (:296-297).
+
+All hyper-parameters that change the graph (bias_corr, guided, exact) are
+Python-static; (K, sigma, scale) are traced scalars and the bias curve is a
+traced [2177] array, so one compilation serves every image and iteration.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..isp import bayer2rggb, rggb2bayer
+from ..vst import vst, inverse_vst, lookup_bias_curve
+from ..vst.lut import FULL_X_GRID
+from ..core.tiling import pad_to_multiple, unpad
+
+
+class VSTDenoiser:
+    """Callable wrapper holding (model, params) and the static pipe config.
+
+    __call__(lr_bayer [B,H,W] or [H,W], curve [2177], K, sigma, scale)
+    -> denoised bayer, same shape, clipped to [0,1].
+    """
+
+    def __init__(self, model, params, *, guided: bool = True,
+                 bias_corr: Optional[str] = "pre", vst_type: str = "exact",
+                 pad_base: int = 32):
+        self.model = model
+        self.params = params
+        self.guided = guided
+        self.bias_corr = bias_corr
+        self.vst_type = vst_type
+        self.pad_base = pad_base
+        self.sigma_corr = 1.03 if bias_corr == "pre" else 1.00
+        self.exact_inverse = bias_corr is None and vst_type == "exact"
+        self._jit = jax.jit(self._denoise)
+
+    def _net(self, z, nsr):
+        """Pad to /pad_base, run the model on clipped input, unpad."""
+        zp, p2d = pad_to_multiple(z, self.pad_base)
+        zin = jnp.clip(zp, 0.0, 1.0)
+        if self.guided:
+            t = jnp.broadcast_to(nsr * self.sigma_corr, (zin.shape[0],))
+            out = self.model.apply(self.params, zin, t)
+        else:
+            out = self.model.apply(self.params, zin)
+        out = jnp.clip(out, 0.0, 1.0)
+        return unpad(out, p2d)
+
+    def _denoise(self, lr_rggb, curve, K, sigma, scale):
+        x = lr_rggb * scale
+        z = vst(x, sigma, gain=K)
+        if self.bias_corr == "pre":
+            bias = lookup_bias_curve(jnp.maximum(x, 0.0), curve, K)
+            z = z - bias
+        lower = vst(jnp.zeros(()), sigma, gain=K)
+        upper = vst(jnp.full((), 1.0) * scale, sigma, gain=K)
+        nsr = 1.0 / (upper - lower)
+        z = (z - lower) * nsr
+        z = self._net(z, nsr)
+        z = z * (upper - lower) + lower
+        x = inverse_vst(z, sigma, gain=K, exact=self.exact_inverse)
+        return jnp.clip(x / scale, 0.0, 1.0)
+
+    def __call__(self, lr_bayer, curve, K, sigma, scale):
+        single = lr_bayer.ndim == 2
+        if single:
+            lr_bayer = lr_bayer[None]
+        rggb = bayer2rggb(jnp.asarray(lr_bayer))
+        out = self._jit(rggb,
+                        jnp.asarray(curve, jnp.float32),
+                        jnp.float32(K), jnp.float32(sigma),
+                        jnp.float32(scale))
+        bayer = rggb2bayer(out)
+        return bayer[0] if single else bayer
+
+    def denoise_rggb(self, rggb, curve, K, sigma, scale):
+        """Packed-plane entry point (already [B, h, w, 4])."""
+        return self._jit(rggb, jnp.asarray(curve, jnp.float32),
+                         jnp.float32(K), jnp.float32(sigma),
+                         jnp.float32(scale))
+
+
+class SimpleDenoiser:
+    """Non-VST path (reference Simple_Denoiser, YOND_SIDD.py:238-248):
+    clamp -> net -> clamp on packed planes."""
+
+    def __init__(self, model, params, *, guided: bool = False,
+                 pad_base: int = 32):
+        self.model = model
+        self.params = params
+        self.guided = guided
+        self.pad_base = pad_base
+        self._jit = jax.jit(self._denoise)
+
+    def _denoise(self, rggb, t):
+        zp, p2d = pad_to_multiple(rggb, self.pad_base)
+        zin = jnp.clip(zp, 0.0, 1.0)
+        if self.guided:
+            out = self.model.apply(self.params, zin,
+                                   jnp.broadcast_to(t, (zin.shape[0],)))
+        else:
+            out = self.model.apply(self.params, zin)
+        return unpad(jnp.clip(out, 0.0, 1.0), p2d)
+
+    def __call__(self, lr_bayer, t=0.0):
+        single = lr_bayer.ndim == 2
+        if single:
+            lr_bayer = lr_bayer[None]
+        rggb = bayer2rggb(jnp.asarray(lr_bayer))
+        out = self._jit(rggb, jnp.float32(t))
+        bayer = rggb2bayer(out)
+        return bayer[0] if single else bayer
