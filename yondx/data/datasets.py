@@ -1,0 +1,205 @@
+"""Host-side dataset readers + batch loader.
+
+Counterpart of data_process/yond_datasets.py. The host only produces uint8
+sRGB crops (or raw blocks for eval sets); all augmentation runs on device
+(yondx.data.unprocess / .noise inside the train jit).
+
+- `NpyFolderDataset`: the RGB_Img2Raw data source (yond_datasets.py:238-256)
+  — a directory of {train,eval}/*.npy sRGB crops (uint8 or uint16).
+- `SIDDValDataset`: SIDD validation/benchmark blocks + metadata
+  (yond_datasets.py:767-868) via scipy.io/h5py.
+- `SyntheticSRGBDataset`: procedural images (gradients, patches, filtered
+  textures) so the full train/eval stack runs with zero external data —
+  the reference has no such fallback; it is what makes this framework
+  self-contained on a fresh machine.
+- `BatchLoader`: shuffling, drop-last batching with a background prefetch
+  thread (the DataLoader-worker analog, trainer_AWGN.py:45-50).
+"""
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class NpyFolderDataset:
+    """Directory of npy sRGB crops: {root}/{mode}[_{subname}]/*.npy."""
+
+    def __init__(self, root_dir: str, mode: str = "train",
+                 subname: Optional[str] = None, cache: bool = False):
+        sub = f"{mode}_{subname}" if (mode == "train" and subname) else mode
+        self.dir = os.path.join(root_dir, sub)
+        self.paths = sorted(glob.glob(os.path.join(self.dir, "*.npy")))
+        if not self.paths:
+            raise FileNotFoundError(f"no npy crops under {self.dir}")
+        self.names = [os.path.basename(p)[:-4] for p in self.paths]
+        self._cache = [None] * len(self.paths) if cache else None
+        if cache:
+            for i, p in enumerate(self.paths):
+                self._cache[i] = np.load(p)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        arr = (self._cache[idx] if self._cache is not None
+               else np.load(self.paths[idx]))
+        maxv = 255.0 if arr.dtype == np.uint8 else 65535.0
+        return (arr.astype(np.float32) / maxv)
+
+
+class SyntheticSRGBDataset:
+    """Procedural sRGB crops: smooth gradients + rectangles + band-limited
+    textures, per-index deterministic (the eval-mode setup_seed(idx)
+    contract, yond_datasets.py:289)."""
+
+    def __init__(self, length: int = 1024, size: int = 256, seed: int = 1997):
+        self.length = length
+        self.size = size
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        S = self.size
+        img = np.zeros((S, S, 3), np.float32)
+        # smooth background: low-frequency random field per channel
+        for c in range(3):
+            g = rng.random((rng.integers(2, 7), rng.integers(2, 7)))
+            img[..., c] = _bilinear_resize(g, S)
+        # random rectangles with distinct colors (flat regions for the NLE)
+        for _ in range(rng.integers(3, 10)):
+            y0, x0 = rng.integers(0, S, 2)
+            h, w = rng.integers(S // 16, S // 2, 2)
+            img[y0:y0 + h, x0:x0 + w] = rng.random(3)
+        # band-limited texture patch
+        if rng.random() < 0.7:
+            y0, x0 = rng.integers(0, S // 2, 2)
+            h = int(rng.integers(S // 8, S // 2))
+            freq = rng.random() * 0.3 + 0.02
+            yy, xx = np.mgrid[0:h, 0:h]
+            tex = 0.5 + 0.25 * np.sin(2 * np.pi * freq * (xx + yy)
+                                      + rng.random() * 6.28)
+            img[y0:y0 + h, x0:x0 + h] *= tex[..., None].astype(np.float32)
+        # global brightness jitter, clip
+        img = np.clip(img * (0.4 + rng.random()), 0.0, 1.0)
+        return img.astype(np.float32)
+
+
+def _bilinear_resize(g: np.ndarray, S: int) -> np.ndarray:
+    gh, gw = g.shape
+    yi = np.linspace(0, gh - 1, S)
+    xi = np.linspace(0, gw - 1, S)
+    y0 = np.floor(yi).astype(int).clip(0, gh - 2)
+    x0 = np.floor(xi).astype(int).clip(0, gw - 2)
+    wy = (yi - y0)[:, None]
+    wx = (xi - x0)[None, :]
+    a = g[y0][:, x0]
+    b = g[y0][:, x0 + 1]
+    c = g[y0 + 1][:, x0]
+    d = g[y0 + 1][:, x0 + 1]
+    return ((1 - wy) * ((1 - wx) * a + wx * b)
+            + wy * ((1 - wx) * c + wx * d)).astype(np.float32)
+
+
+class SIDDValDataset:
+    """SIDD validation/benchmark harness dataset (yond_datasets.py:767).
+
+    Expects the official layout under root_dir:
+      SIDD_Validation_Raw/{ValidationNoisyBlocksRaw,ValidationGtBlocksRaw,
+      BenchmarkNoisyBlocksRaw,BenchmarkBlocks32}.mat
+      SIDD_Benchmark_Data/<scene>/<scene>_{METADATA,NOISY,GT}_010.MAT
+    """
+
+    def __init__(self, root_dir: str, mode: str = "eval"):
+        import scipy.io as sio
+        from ..isp.metadata import read_sidd_metadata
+        self.mode = mode
+        val = os.path.join(root_dir, "SIDD_Validation_Raw")
+        if mode == "eval":
+            self.lr = sio.loadmat(
+                os.path.join(val, "ValidationNoisyBlocksRaw.mat")
+            )["ValidationNoisyBlocksRaw"]
+            self.hr = sio.loadmat(
+                os.path.join(val, "ValidationGtBlocksRaw.mat")
+            )["ValidationGtBlocksRaw"]
+        else:
+            self.lr = sio.loadmat(
+                os.path.join(val, "BenchmarkNoisyBlocksRaw.mat")
+            )["BenchmarkNoisyBlocksRaw"]
+            self.hr = None
+        bench = os.path.join(root_dir, "SIDD_Benchmark_Data")
+        self.names = sorted(os.listdir(bench)) if os.path.isdir(bench) else []
+        metas = sorted(glob.glob(os.path.join(bench, "*", "*_METADATA_*.MAT")))
+        lrs = sorted(glob.glob(os.path.join(bench, "*", "*_NOISY_*.MAT")))
+        self.infos = []
+        for i in range(self.lr.shape[0]):
+            meta = None
+            if i < len(metas):
+                meta = read_sidd_metadata(sio.loadmat(metas[i]))
+            self.infos.append({
+                "name": self.names[i] if i < len(self.names) else f"{i:04d}",
+                "metadata": meta,
+                "lr_path": lrs[i] if i < len(lrs) else None,
+            })
+
+    def __len__(self):
+        return self.lr.shape[0]
+
+    def __getitem__(self, idx: int) -> dict:
+        info = self.infos[idx]
+        meta = info["metadata"]
+        data = {
+            "name": info["name"],
+            "lr": self.lr[idx].astype(np.float32),
+            "meta": meta,
+            "lr_path_full": info["lr_path"],
+            "cfa": meta["bayer_2by2"] if meta else [[1, 2], [2, 3]],
+        }
+        if self.hr is not None:
+            data["hr"] = self.hr[idx].astype(np.float32)
+        return data
+
+
+class BatchLoader:
+    """Shuffled, drop-last batches with one background prefetch thread."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, prefetch: int = 2, epochs: int = 1):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epochs = epochs
+
+    def __len__(self):
+        return len(self.ds) // self.bs
+
+    def _produce(self, q: queue.Queue, epoch: int):
+        rng = np.random.default_rng(self.seed + epoch)
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            rng.shuffle(order)
+        for s in range(0, len(order) - self.bs + 1, self.bs):
+            batch = np.stack([self.ds[int(i)] for i in order[s:s + self.bs]])
+            q.put(batch)
+        q.put(None)
+
+    def epoch(self, epoch: int = 0) -> Iterator[np.ndarray]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._produce, args=(q, epoch),
+                             daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        t.join()

@@ -1,0 +1,203 @@
+"""Spatial sharding: full-resolution frames split along H across chips.
+
+The image-domain analog of sequence/context parallelism (SURVEY.md §5):
+a 12-50 MP Bayer frame is sharded row-wise over the mesh; neighbors
+exchange `halo` boundary rows over ICI (lax.ppermute) so windowed ops (the
+NLE box filters, the UNet receptive field) are computed as if the frame
+were whole. Global statistics (the NLE threshold + line fit) use psum'd
+histograms/moments instead of a global sort.
+
+All functions are built with jax.shard_map over a mesh axis (default
+'data') and run unmodified on the CPU xla_force_host_platform_device_count
+mesh used in tests.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..nle.boxfilter import box_mean, stdfilt
+from ..nle.fit import masked_linefit, nonsat_weights
+from ..vst import vst, inverse_vst, lookup_bias_curve
+
+
+def _halo_exchange_rows(x, halo: int, axis_name: str):
+    """x: local shard [h, W, C]. Returns [h + 2*halo, W, C] with neighbor
+    rows filled in; global top/bottom get reflect-101 padding."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    top = x[:halo]
+    bot = x[-halo:]
+    if n > 1:
+        from_above = lax.ppermute(bot, axis_name,
+                                  [(i, i + 1) for i in range(n - 1)])
+        from_below = lax.ppermute(top, axis_name,
+                                  [(i + 1, i) for i in range(n - 1)])
+    else:
+        from_above = jnp.zeros_like(bot)
+        from_below = jnp.zeros_like(top)
+    # reflect-101 fallbacks at the global frame edges
+    reflect_top = x[1:halo + 1][::-1]
+    reflect_bot = x[-halo - 1:-1][::-1]
+    top_pad = jnp.where(idx == 0, reflect_top, from_above)
+    bot_pad = jnp.where(idx == n - 1, reflect_bot, from_below)
+    return jnp.concatenate([top_pad, x, bot_pad], axis=0)
+
+
+def sharded_box_stats(mesh: Mesh, rggb, k: int = 29, axis: str = "data"):
+    """Exact sharded (mean, var, texture) maps of a row-sharded RGGB frame.
+
+    rggb: [H, W, 4] (H divisible by mesh axis size). Returns the three maps
+    with the same sharding. Interior-exact: halo = k rows covers the
+    texture map's nested blur(2k//3+1) -> stdfilt(k) support.
+    """
+    halo = k  # covers stdfilt(box_mean(., 2k//3+1), k) support
+    inner = k // 3 * 2 + 1
+
+    def f(x):
+        xe = _halo_exchange_rows(x, halo, axis)
+        mean = box_mean(xe, k)
+        std = stdfilt(xe, k)
+        tex = stdfilt(box_mean(xe, inner), k)
+        sl = slice(halo, xe.shape[0] - halo)
+        return mean[sl], std[sl] ** 2, tex[sl]
+
+    fn = jax.shard_map(f, mesh=mesh, in_specs=P(axis),
+                       out_specs=(P(axis), P(axis), P(axis)))
+    return fn(rggb)
+
+
+NBINS_TH = 4096
+
+
+def sharded_self_nlf(mesh: Mesh, rggb, k: int = 29, axis: str = "data",
+                     step: int = 5):
+    """Self NLE on a row-sharded frame -> (beta1, beta2) replicated scalars.
+
+    Same algorithm as yondx.nle.self_nlf with two multichip substitutions:
+    the percentile thresholds come from a psum'd 4096-bin histogram of the
+    texture map (accurate to bin width), and the occupied-brightness-bin
+    scan and line fit are psum'd masked reductions.
+    """
+    halo = k
+    inner = k // 3 * 2 + 1
+    n_q = 100 // step
+    quants = np.linspace(step, 100, n_q, endpoint=True).astype(np.float32)
+
+    def f(x):
+        xe = _halo_exchange_rows(x, halo, axis)
+        mean = box_mean(xe, k)
+        std = stdfilt(xe, k)
+        tex = stdfilt(box_mean(xe, inner), k)
+        sl = slice(halo, xe.shape[0] - halo)
+        mean, var, tex = mean[sl], std[sl] ** 2, tex[sl]
+
+        m = mean.reshape(-1)
+        v = var.reshape(-1)
+        t = tex.reshape(-1)
+        # global histogram percentiles of the texture map
+        t_max = lax.pmax(jnp.max(t), axis) + 1e-12
+        edges = jnp.linspace(0.0, 1.0, NBINS_TH + 1)[1:] * t_max
+        bins = jnp.clip((t / t_max * NBINS_TH).astype(jnp.int32), 0,
+                        NBINS_TH - 1)
+        counts = jax.ops.segment_sum(jnp.ones_like(t), bins,
+                                     num_segments=NBINS_TH)
+        cdf = jnp.cumsum(lax.psum(counts, axis))
+        total = cdf[-1]
+        ranks = jnp.asarray(quants) / 100.0 * total
+        # threshold = smallest edge with cdf >= rank
+        idxs = jnp.argmax(cdf[None, :] >= ranks[:, None], axis=1)
+        ths = edges[idxs]
+        # occupied brightness bins under each threshold (segment-min psum'd)
+        buckets = jnp.clip(m, 0.0, 1.0) * 1000
+        buckets = buckets.astype(jnp.int32)
+        min_tex = jax.ops.segment_min(t, buckets, num_segments=1001)
+        min_tex = lax.pmin(min_tex, axis)
+        npeaks = jnp.sum(min_tex[None, :] <= ths[:, None], axis=1)
+        npeaks = jnp.maximum(npeaks.astype(jnp.float32), 1.0)
+        score = ths / (jnp.asarray(quants) * npeaks)
+        i = jnp.argmin(score[1:]) + 1
+        th = ths[i]
+        mask = (t < th).astype(jnp.float32)
+        empty = lax.psum(jnp.sum(mask), axis) == 0
+        th25 = edges[jnp.argmax(cdf >= 0.25 * total)]
+        mask = jnp.where(empty, (t < th25).astype(jnp.float32), mask)
+        w = nonsat_weights_global(m, mask, axis)
+        return _global_linefit(m, v, w, axis)
+
+    fn = jax.shard_map(f, mesh=mesh, in_specs=P(axis),
+                       out_specs=(P(), P()))
+    return fn(rggb)
+
+
+def nonsat_weights_global(x, w, axis: str):
+    nonsat = (x > 1e-4) & (x < 0.8)
+    w2 = w * nonsat
+    keep = lax.psum(jnp.sum(w2), axis) > 0.01 * lax.psum(jnp.sum(w), axis)
+    return jnp.where(keep, w2, w)
+
+
+def _global_linefit(x, y, w, axis: str):
+    n = lax.psum(jnp.sum(w), axis)
+    safe_n = jnp.maximum(n, 1.0)
+    xbar = lax.psum(jnp.sum(w * x), axis) / safe_n
+    ybar = lax.psum(jnp.sum(w * y), axis) / safe_n
+    dx = x - xbar
+    dy = y - ybar
+    sxx = lax.psum(jnp.sum(w * dx * dx), axis)
+    sxy = lax.psum(jnp.sum(w * dx * dy), axis)
+    b1 = jnp.where(sxx > 0, sxy / jnp.maximum(sxx, 1e-30), 0.0)
+    b2 = ybar - b1 * xbar
+    ok = n > 0
+    return jnp.where(ok, b1, 0.0), jnp.where(ok, b2, 0.0)
+
+
+def spatial_denoise_sharded(mesh: Mesh, apply_fn: Callable, params,
+                            rggb, curve, K, sigma, scale,
+                            halo: int = 64, axis: str = "data",
+                            bias_corr: str | None = "pre",
+                            exact_inverse: bool = False,
+                            sigma_corr: float = 1.03,
+                            guided: bool = True):
+    """Row-sharded fused VST denoise of one huge RGGB frame.
+
+    Each chip holds H/n rows; `halo` rows (rggb domain) are exchanged over
+    ICI before the network so the UNet's receptive field crosses shard
+    boundaries; the halo is cropped after. Shapes must satisfy
+    (H/n + 2*halo) % 32 == 0 for the UNet scales (choose halo accordingly).
+    """
+    def f(x, curve_l, K_l, sigma_l, scale_l):
+        xd = x * scale_l
+        z = vst(xd, sigma_l, gain=K_l)
+        if bias_corr == "pre":
+            bias = lookup_bias_curve(jnp.maximum(xd, 0.0), curve_l, K_l)
+            z = z - bias
+        lower = vst(jnp.zeros(()), sigma_l, gain=K_l)
+        upper = vst(scale_l, sigma_l, gain=K_l)
+        nsr = 1.0 / (upper - lower)
+        z = (z - lower) * nsr
+        ze = _halo_exchange_rows(z, halo, axis)
+        zin = jnp.clip(ze, 0.0, 1.0)[None]
+        if guided:
+            t = jnp.broadcast_to(nsr * sigma_corr, (1,))
+            out = apply_fn(params, zin, t)
+        else:
+            out = apply_fn(params, zin)
+        out = jnp.clip(out[0], 0.0, 1.0)[halo:-halo]
+        z = out * (upper - lower) + lower
+        xd = inverse_vst(z, sigma_l, gain=K_l, exact=exact_inverse)
+        return jnp.clip(xd / scale_l, 0.0, 1.0)
+
+    # params/apply_fn are closed over: shard_map treats closed-over arrays
+    # as fully replicated — exactly right for the net weights.
+    fn = jax.shard_map(f, mesh=mesh,
+                       in_specs=(P(axis), P(), P(), P(), P()),
+                       out_specs=P(axis))
+    return fn(rggb, jnp.asarray(curve, jnp.float32), jnp.float32(K),
+              jnp.float32(sigma), jnp.float32(scale))

@@ -1,0 +1,178 @@
+"""YOND iterative engine: self-calibration -> VST denoise -> collaborative
+re-calibration -> denoise again.
+
+Rebuild of `IterDenoise` (reference YOND_SIDD.py:301-483) with the same
+pipeline-config surface (the YAML `pipeline:` block: full_est / est_type /
+k / full_dn / vst_type / bias_corr / denoiser_type / iter / max_iter) and
+the same algorithmic guards:
+- beta2 < 0 in a collab round -> fall back to beta1^2 (:438-440);
+- beta1 < 0 -> abort iteration, keep the round-0 result (:445-447).
+
+Data layout: crops are a leading batch dim [N, H, W] (bayer) throughout —
+the reference's strip-concat / re-split gymnastics (:315, :354, :460) exist
+only because cv2/bm3d want single 2-D images. One jitted call denoises the
+whole crop batch.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.logging import log
+from ..isp import bayer2rggb, rot_bayer
+from ..nle import self_nlf, collab_nlf
+from ..vst.lut import BiasLUT, FULL_X_GRID
+from .denoiser import VSTDenoiser, SimpleDenoiser
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    """The YAML `pipeline:` block (reference runfiles/YOND/*.yml:10-22)."""
+    full_est: bool = True
+    est_type: str = "simple+full"
+    k: int = 29
+    full_dn: bool = False
+    vst_type: str = "exact"
+    bias_corr: Optional[str] = "pre"
+    denoiser_type: str = "gru32n"
+    iter: str = "iter"
+    max_iter: int = 1
+    clip: bool = False
+    data_type: str = "SIDD"
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "PipelineConfig":
+        d = dict(d)
+        if d.get("bias_corr") == "none":
+            d["bias_corr"] = None
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+class YONDEngine:
+    """Orchestrates NLE + denoise rounds for one scene.
+
+    Parameters
+    ----------
+    denoiser : VSTDenoiser (the jitted NLE->net chain)
+    pipe : PipelineConfig
+    biaslut : BiasLUT or None (None -> curves computed on demand; the LUT
+        is strongly recommended — reference regenerates per image otherwise,
+        get_bias YOND_SIDD.py:254-259)
+    est_models : optional dict of ('est_self'/'est_collab'/'est_net') ->
+        callable(raw)->reg for the neural-NLE est_types.
+    """
+
+    def __init__(self, denoiser: VSTDenoiser, pipe: PipelineConfig,
+                 biaslut: Optional[BiasLUT] = None,
+                 est_models: Optional[Dict[str, Any]] = None,
+                 logfile: Optional[str] = None):
+        self.denoiser = denoiser
+        self.pipe = pipe
+        self.biaslut = biaslut or BiasLUT()
+        self.est_models = est_models or {}
+        self.logfile = logfile
+
+    # ---------------------------------------------------------------- NLE
+    def _estimate_self(self, raw_bayer) -> tuple:
+        """Self NLE on a bayer frame or crop stack (est_type 'simple')."""
+        rggb = bayer2rggb(jnp.asarray(raw_bayer, jnp.float32))
+        b1, b2 = self_nlf(rggb, k=self.pipe.k)
+        return float(b1), float(b2)
+
+    def _estimate_collab(self, lr_bayer, dn_bayer) -> tuple:
+        rggb_lr = bayer2rggb(jnp.asarray(lr_bayer, jnp.float32))
+        rggb_dn = bayer2rggb(jnp.asarray(dn_bayer, jnp.float32))
+        b1, b2 = collab_nlf(rggb_lr, rggb_dn, k=self.pipe.k)
+        return float(b1), float(b2)
+
+    # ------------------------------------------------------------ denoise
+    def _denoise_round(self, lr, p, hr=None):
+        """One denoise pass over the crop batch / frame."""
+        # shot gain can self-estimate to ~0 on pure-Gaussian content; the
+        # VST divides by it (isp_algos.py:9), so clamp defensively.
+        p["gain"] = max(p["gain"], 1e-4)
+        curve = self.biaslut.curve(p["gain"], p["sigma"]) \
+            if self.pipe.bias_corr else np.zeros(len(FULL_X_GRID), np.float32)
+        x = jnp.asarray(lr, jnp.float32)
+        if "rot_cfa" in p:
+            x = rot_bayer(x, p["cfa"])
+        dn = self.denoiser(x, curve, p["gain"], p["sigma"], p["scale"])
+        if "rot_cfa" in p:
+            dn = rot_bayer(dn, p["cfa"], rev=True)
+        return dn
+
+    # -------------------------------------------------------------- main
+    def iter_denoise(self, data: Dict[str, Any], p: Dict[str, Any],
+                     img_id: int = 0) -> Dict[str, Any]:
+        """Run the full iterative pipeline for one scene.
+
+        data: {'lr': [N,H,W] or [H,W] bayer in [0,1], optional 'hr',
+               optional 'lr_full' (full-res frame for full_est),
+               optional 'name', 'cfa'}.
+        p: {'wp','bl','ratio','scale', optional 'cfa','rot_cfa'}.
+        Returns {'raw_dns': [round0, round1, ...] (np arrays, same shape as
+        lr), 'regs': [(beta1,beta2), ...]}.
+        """
+        pipe = self.pipe
+        lr = np.asarray(data["lr"], np.float32)
+        regs: List[tuple] = []
+
+        # ---- Round 1: self-calibration
+        if pipe.full_est:
+            if "manual" in pipe.est_type:
+                reg = (p["gain"] / (p["wp"] - p["bl"]),
+                       (p["sigma"] / (p["wp"] - p["bl"])) ** 2)
+            elif "simple" in pipe.est_type or "ours" in pipe.est_type:
+                raw4est = data.get("lr_full", lr)
+                reg = self._estimate_self(raw4est)
+            elif "pge" in pipe.est_type and "est_net" in self.est_models:
+                reg = self.est_models["est_net"](lr)
+                reg = (float(reg[0]), float(reg[1]) ** 2)
+            else:
+                raise NotImplementedError(
+                    f"est_type {pipe.est_type!r} needs precomputed files "
+                    "(foi/liu/zou) or an est_net")
+            p["gain"] = reg[0] * (p["wp"] - p["bl"])
+            p["sigma"] = float(np.sqrt(max(reg[1], 0.0))) * (p["wp"] - p["bl"])
+            log(f"Self Est: K={p['gain']:.4f}, b={p['sigma']:.4f} "
+                f"(beta1={reg[0]:.3e}, beta2={reg[1]:.3e})",
+                logfile=self.logfile)
+        else:
+            # per-crop estimation without full_est is the deprecated
+            # Simple_Denoiser path (reference :368-378)
+            simple = SimpleDenoiser(self.denoiser.model, self.denoiser.params,
+                                    guided=False,
+                                    pad_base=self.denoiser.pad_base)
+            dn = np.asarray(simple(jnp.asarray(lr)))
+            return {"raw_dns": [dn], "regs": [(0.0, 0.0)]}
+        regs.append(reg)
+
+        dn = np.asarray(self._denoise_round(lr, p))
+        raw_dns = [dn.copy()]
+
+        # ---- Rounds 2..max_iter: collaborative re-calibration
+        if pipe.iter == "iter":
+            for epoch in range(1, pipe.max_iter + 1):
+                reg = self._estimate_collab(lr, dn)
+                if reg[1] < 0:
+                    log(f"Warning!!! b={reg[1]:.4f} is backup to "
+                        f"{reg[0] ** 2:.4f}", logfile=self.logfile)
+                    reg = (reg[0], reg[0] ** 2)
+                p["gain"] = reg[0] * (p["wp"] - p["bl"])
+                p["sigma"] = float(np.sqrt(reg[1])) * (p["wp"] - p["bl"])
+                log(f"Iter {epoch} Est: K={p['gain']:.4f}, "
+                    f"sigma={p['sigma']:.4f} (beta1={reg[0]:.3e}, "
+                    f"beta2={reg[1]:.3e})", logfile=self.logfile)
+                if reg[0] < 0:
+                    log("Warning!!! Wrong noise level! Backup to iter_0 "
+                        "result.", logfile=self.logfile)
+                    break
+                dn = np.asarray(self._denoise_round(lr, p, hr=dn))
+                raw_dns.append(dn.copy())
+                regs.append(reg)
+
+        return {"raw_dns": raw_dns, "regs": regs}

@@ -1,0 +1,79 @@
+"""Losses (reference losses/base_loss.py, losses/__init__.py).
+
+YOND training uses plain L1 (`Unet_Loss`, base_loss.py:81-113, with the
+gradient/gamma terms disabled); the rest of the family is here for parity:
+Charbonnier (:69), Sobel-gradient (:21-37), pyramid deep supervision
+(:44-67), and the per-sample PSNR train metric (losses/__init__.py:3-14).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def l1_loss(pred, target):
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def charbonnier_loss(pred, target, eps: float = 1e-6):
+    d = pred - target
+    return jnp.mean(jnp.sqrt(d * d + eps))
+
+
+def _sobel(x, direction: str):
+    """[B, H, W, C] Sobel gradient."""
+    if direction == "x":
+        k = jnp.array([[1., 0., -1.], [2., 0., -2.], [1., 0., -1.]]) / 4
+    else:
+        k = jnp.array([[1., 2., 1.], [0., 0., 0.], [-1., -2., -1.]]) / 4
+    B, H, W, C = x.shape
+    y = x.transpose(0, 3, 1, 2).reshape(-1, 1, H, W)
+    y = lax.conv_general_dilated(y, k[None, None], (1, 1), "SAME")
+    return y.reshape(B, C, H, W).transpose(0, 2, 3, 1)
+
+
+def gradient_loss(pred, target):
+    gx = jnp.abs(_sobel(pred, "x") - _sobel(target, "x"))
+    gy = jnp.abs(_sobel(pred, "y") - _sobel(target, "y"))
+    return jnp.mean(gx + gy)
+
+
+def _down2(x):
+    return 0.25 * (x[:, 0::2, 0::2] + x[:, 1::2, 0::2]
+                   + x[:, 0::2, 1::2] + x[:, 1::2, 1::2])
+
+
+def pyramid_loss(pred, target, loss_fn=l1_loss, rate: float = 0.5,
+                 max_scale: int = 8):
+    """Deep-supervision across avg-pooled scales (base_loss.py:44-67)."""
+    total, weight, lam = 0.0, 0.0, 1.0
+    p, t = pred, target
+    s = 1
+    while s <= max_scale:
+        total = total + loss_fn(p, t) * lam
+        weight += lam
+        lam *= rate
+        if s < max_scale:
+            p, t = _down2(p), _down2(t)
+        s *= 2
+    return total / weight
+
+
+def unet_loss(pred, target, charbonnier: bool = False,
+              pyramid: bool = False):
+    """The default training loss (Unet_Loss.forward, base_loss.py:105-113)."""
+    fn = charbonnier_loss if charbonnier else l1_loss
+    if pyramid:
+        return pyramid_loss(pred, target, loss_fn=fn)
+    return fn(pred, target)
+
+
+def psnr_loss(pred, target):
+    """Per-sample-mean PSNR in dB (losses/__init__.py:3-14); inputs in
+    [0,1]."""
+    if pred.ndim <= 3:
+        mse = jnp.mean((pred - target) ** 2)
+        return -10.0 * jnp.log(jnp.maximum(mse, 1e-20)) / jnp.log(10.0)
+    axes = tuple(range(1, pred.ndim))
+    mse = jnp.mean((pred - target) ** 2, axis=axes)
+    return jnp.mean(-10.0 * jnp.log(jnp.maximum(mse, 1e-20)) / jnp.log(10.0))

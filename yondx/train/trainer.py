@@ -1,0 +1,279 @@
+"""AWGN trainer: the full training harness.
+
+Rebuild of trainer_AWGN.py / trainer_base.py with the TPU-first data path:
+one jitted train step does device-resident unprocess augmentation (CCM/WB
+inversion, gamma, mosaic, CFA rotation), AWGN corruption with log-uniform
+sigma, the guided forward, L1 loss, and the Adam update — sharded over the
+mesh 'data' axis (params replicated; XLA inserts the gradient all-reduce
+over ICI). The host thread only feeds uint8/float sRGB crops.
+
+Feature parity with the reference train loop (trainer_AWGN.py:78-193):
+SGDR cosine LR stepped per epoch, per-stage %-time postfix, PSNR meter with
+pkl-backed history, rolling last/epoch/best checkpoints (with optimizer
+state — an improvement), periodic fast eval at sigma_list[1], EMA
+consistency branch ('consistency' in dst.command, active after epoch 100).
+"""
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.logging import log, timestamp
+from ..core.meters import AverageMeter
+from ..data.unprocess import srgb_to_pseudo_raw
+from ..data.noise import awgn_log_uniform
+from ..data.datasets import (SyntheticSRGBDataset, NpyFolderDataset,
+                             BatchLoader)
+from ..models import build_model
+from ..models.registry import init_params, is_guided
+from ..parallel.mesh import make_mesh, shard_batch, replicate
+from .losses import unet_loss, psnr_loss
+from .schedule import lr_lambda_from_hyper
+from .ckpt import save_checkpoint, load_checkpoint, find_checkpoint
+
+
+class AWGNTrainer:
+    def __init__(self, args: Dict[str, Any], mesh=None, dtype=None):
+        """args: the parsed YAML runfile dict (dst*/arch/hyper blocks)."""
+        self.args = args
+        self.arch = args["arch"]
+        self.hyper = args["hyper"]
+        self.dst = args.get("dst_train", args.get("dst", {}))
+        self.dst_eval = args.get("dst_eval", self.dst)
+        self.model_name = args.get("model_name", "model")
+        self.fast_ckpt = args.get("fast_ckpt", "checkpoints")
+        self.model_dir = args.get("checkpoint", "saved_model")
+        self.sample_dir = os.path.join(args.get("result_dir", "images"),
+                                       f"samples-{self.model_name}")
+        self.guided = is_guided(self.arch)
+        self.logfile = f"./logs/log_{self.model_name}.log"
+
+        self.model = build_model(self.arch, dtype=dtype)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        ps = self.dst.get("patch_size", 256)
+        self.params = init_params(self.model, jax.random.PRNGKey(0),
+                                  (1, ps // 2, ps // 2, self.arch["in_nc"]),
+                                  guided=self.guided)
+
+        self.lr_fn = lr_lambda_from_hyper(self.hyper)
+        self.tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=self.lr_fn(max(self.hyper.get("last_epoch", 0), 1)))
+        self.opt_state = self.tx.init(self.params)
+        self.best_psnr = float(self.hyper.get("best_psnr", 0.0))
+        self.epoch = self.hyper.get("last_epoch", 0)
+
+        # resume (reference trainer_AWGN.py:21-30)
+        if self.epoch:
+            path = find_checkpoint(self.fast_ckpt, self.model_name)
+            if path:
+                state = load_checkpoint(path, self.params, self.opt_state)
+                self.params = state["params"]
+                if state.get("opt_state"):
+                    self.opt_state = state["opt_state"]
+                self.best_psnr = state.get("best_psnr", self.best_psnr)
+                log(f"Resumed from {path} @ epoch {state.get('epoch')}",
+                    logfile=self.logfile)
+            else:
+                log("No checkpoint file!!!", logfile=self.logfile)
+
+        self.params = replicate(self.mesh, self.params)
+        self.opt_state = replicate(self.mesh, self.opt_state)
+
+        self.train_psnr = AverageMeter("PSNR", ":2f")
+        self.eval_psnr = AverageMeter("PSNR", ":2f")
+        self.eval_ssim = AverageMeter("SSIM", ":4f")
+
+        self.sigma_min = float(self.dst.get("sigma_min", 5))
+        self.sigma_max = float(self.dst.get("sigma_max", 50))
+        self.clip = bool(self.dst.get("clip", True))
+        self.command = self.dst.get("command", "")
+        self.consistency = "consistency" in self.command
+        self.bayeraug = "no_bayeraug" not in self.command
+
+        # no donation: params is also passed as the ema snapshot
+        self._train_step = jax.jit(self._make_train_step())
+        self._eval_step = jax.jit(self._make_eval_step())
+
+    # ------------------------------------------------------------- steps
+    def _make_train_step(self):
+        model, guided = self.model, self.guided
+        clip, bayeraug = self.clip, self.bayeraug
+        smin, smax = self.sigma_min, self.sigma_max
+        consistency = self.consistency
+        tx = self.tx
+
+        def loss_fn(params, lr, hr, sigma, ema_params, key, use_consistency):
+            if guided:
+                pred = model.apply(params, lr, sigma)
+            else:
+                pred = model.apply(params, lr)
+            loss = unet_loss(pred, hr)
+            if consistency:
+                # second noisy view through the epoch-start snapshot
+                # (trainer_AWGN.py:103-108,114-115)
+                k1, k2 = jax.random.split(key)
+                st = jax.random.uniform(k1) * 0.25 + 0.7
+                bshape = (hr.shape[0],) + (1,) * (hr.ndim - 1)
+                noise = jax.random.normal(k2, hr.shape) * \
+                    sigma.reshape(bshape)
+                lr2 = hr + noise * st
+                if guided:
+                    pred2 = model.apply(ema_params, lr2, sigma * st)
+                else:
+                    pred2 = model.apply(ema_params, lr2)
+                pred2 = jax.lax.stop_gradient(pred2)
+                loss = loss + use_consistency * 0.1 * jnp.mean(
+                    jnp.abs(pred - pred2))
+            return loss, pred
+
+        def step(params, opt_state, key, batch, lr_value, ema_params,
+                 use_consistency):
+            k_data, k_noise, k_cons = jax.random.split(key, 3)
+            hr, wb, cam2rgb, pattern = srgb_to_pseudo_raw(
+                k_data, batch, bayer_aug_enabled=bayeraug)
+            noisy, sigma = awgn_log_uniform(k_noise, hr, smin, smax)
+            if clip:
+                noisy = jnp.clip(noisy, 0.0, 1.0)
+                hr = jnp.clip(hr, 0.0, 1.0)
+            (loss, pred), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, noisy, hr, sigma,
+                                       ema_params, k_cons, use_consistency)
+            opt_state.hyperparams["learning_rate"] = lr_value
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            m = psnr_loss(jnp.clip(pred, 0, 1), jnp.clip(hr, 0, 1))
+            return params, opt_state, loss, m
+
+        return step
+
+    def _make_eval_step(self):
+        model, guided = self.model, self.guided
+
+        def step(params, lr, hr, sigma):
+            if guided:
+                pred = model.apply(params, lr, sigma)
+            else:
+                pred = model.apply(params, lr)
+            pred = jnp.clip(pred, 0, 1)
+            return pred, psnr_loss(pred, jnp.clip(hr, 0, 1))
+
+        return step
+
+    # ------------------------------------------------------------- data
+    def _make_loader(self, mode: str) -> BatchLoader:
+        dst = self.dst if mode == "train" else self.dst_eval
+        bs = self.hyper["batch_size"] if mode == "train" else \
+            max(4, self.hyper["batch_size"] // 8)
+        dataset_name = dst.get("dataset", "SyntheticSRGBDataset")
+        root = dst.get("root_dir", "")
+        try:
+            if dataset_name in ("RGB_Img2Raw_Dataset", "NpyFolderDataset",
+                                "DIV2K_Img2Raw_Dataset") and root:
+                ds = NpyFolderDataset(root, mode=dst.get("mode", mode),
+                                      subname=dst.get("subname"))
+            else:
+                raise FileNotFoundError
+        except (FileNotFoundError, OSError):
+            n = dst.get("synthetic_len", 512 if mode == "train" else 32)
+            ds = SyntheticSRGBDataset(length=n,
+                                      size=dst.get("patch_size", 256),
+                                      seed=1997 if mode == "train" else 2024)
+        return BatchLoader(ds, bs, shuffle=(mode == "train"),
+                           seed=self.hyper.get("seed", 0))
+
+    # ------------------------------------------------------------- train
+    def train(self, stop_epoch: Optional[int] = None,
+              steps_per_epoch: Optional[int] = None):
+        hyper = self.hyper
+        stop = stop_epoch or hyper["stop_epoch"]
+        pf = hyper.get("plot_freq", 25)
+        loader = self._make_loader("train")
+        key = jax.random.PRNGKey(hyper.get("seed", 1997))
+
+        for epoch in range(self.epoch + 1, stop + 1):
+            self.train_psnr.reset()
+            lr_value = self.lr_fn(epoch)
+            ema_params = self.params  # epoch-start snapshot
+            use_cons = jnp.float32(1.0 if (self.consistency and epoch > 100)
+                                   else 0.0)
+            runtime = {"dataloader": 0.0, "net": 0.0, "total": 1e-9}
+            tp = [time.time()] * 4
+            n_steps = 0
+            for batch in loader.epoch(epoch):
+                runtime["dataloader"] += timestamp(tp, 1)
+                key, sub = jax.random.split(key)
+                b = shard_batch(self.mesh, batch)
+                self.params, self.opt_state, loss, m = self._train_step(
+                    self.params, self.opt_state, sub, b,
+                    jnp.float32(lr_value), ema_params, use_cons)
+                m = float(m)
+                runtime["net"] += timestamp(tp, 2)
+                self.train_psnr.update(m)
+                n_steps += 1
+                tp[0] = time.time()
+                if steps_per_epoch and n_steps >= steps_per_epoch:
+                    break
+            runtime["total"] = runtime["dataloader"] + runtime["net"]
+            log(f"Epoch {epoch}: lr={lr_value:.2e} "
+                f"PSNR={self.train_psnr.avg:.2f} "
+                f"loader={100 * runtime['dataloader'] / runtime['total']:.0f}% "
+                f"net={100 * runtime['net'] / runtime['total']:.0f}%",
+                logfile=self.logfile)
+            self.epoch = epoch
+
+            if epoch % hyper.get("save_freq", 10) == 0:
+                self._save("last", epoch)
+                self._save(f"e{epoch // pf * pf:04d}", epoch,
+                           directory=self.model_dir)
+            if epoch % pf == 0:
+                self.eval(epoch=epoch)
+
+    def _save(self, tag: str, epoch: int, directory: Optional[str] = None):
+        if tag.startswith("e"):
+            path = os.path.join(directory or self.model_dir,
+                                f"{self.model_name}_{tag}.ckpt")
+        else:
+            path = os.path.join(self.fast_ckpt,
+                                f"{self.model_name}_{tag}_model.ckpt")
+        save_checkpoint(path, jax.device_get(self.params),
+                        jax.device_get(self.opt_state), epoch,
+                        self.best_psnr)
+
+    # -------------------------------------------------------------- eval
+    def eval(self, epoch: int = -1, sigma: Optional[float] = None):
+        from ..eval.metrics import matlab_ssim
+        self.eval_psnr.reset()
+        self.eval_ssim.reset()
+        sigma_list = self.dst_eval.get("sigma_list", [10, 25, 50])
+        sig = (sigma if sigma is not None else sigma_list[1]) / 255.0
+        loader = self._make_loader("eval")
+        key = jax.random.PRNGKey(2024)
+        for i, batch in enumerate(loader.epoch(0)):
+            key, k1, k2 = jax.random.split(key, 3)
+            hr, _, _, _ = srgb_to_pseudo_raw(k1, jnp.asarray(batch),
+                                             bayer_aug_enabled=False)
+            noise = jax.random.normal(k2, hr.shape) * sig
+            lr = jnp.clip(hr + noise, 0, 1) if self.clip else hr + noise
+            hr = jnp.clip(hr, 0, 1) if self.clip else hr
+            t = jnp.full((hr.shape[0],), sig, jnp.float32)
+            pred, m = self._eval_step(self.params, lr, hr, t)
+            self.eval_psnr.update(float(m))
+            # channels to a leading dim so matlab_ssim sees [..., H, W]
+            self.eval_ssim.update(float(matlab_ssim(
+                jnp.moveaxis(pred, -1, 1) * 255,
+                jnp.moveaxis(hr, -1, 1) * 255)))
+        if self.eval_psnr.avg >= self.best_psnr and epoch > 0:
+            self.best_psnr = self.eval_psnr.avg
+            log(f"Best PSNR is {self.best_psnr} now!!", logfile=self.logfile)
+            self._save("best", epoch)
+        log(f"Epoch {epoch}: eval PSNR={self.eval_psnr.avg:.2f}, "
+            f"SSIM={self.eval_ssim.avg:.4f} (sigma={sig * 255:.0f})",
+            logfile=self.logfile)
+        return self.eval_psnr.avg, self.eval_ssim.avg

@@ -74,6 +74,23 @@ def build_bias_lut(path: str | None = None, block: int = 256) -> np.ndarray:
     return lut
 
 
+def _default_lut_path() -> str | None:
+    """Search order: $YONDX_BIAS_LUT, ./checkpoints/bias_lut_2d.npy, the
+    repo checkout next to this package (same filename the reference uses,
+    YOND_SIDD.py:171)."""
+    cands = [os.environ.get("YONDX_BIAS_LUT"),
+             os.path.join("checkpoints", "bias_lut_2d.npy"),
+             os.path.join(os.path.dirname(__file__), "..", "..",
+                          "checkpoints", "bias_lut_2d.npy")]
+    for c in cands:
+        if c and os.path.exists(c):
+            return c
+    return None
+
+
+_LUT_CACHE: dict = {}
+
+
 class BiasLUT:
     """Host-side holder of the 2-D table + curve extraction.
 
@@ -83,10 +100,17 @@ class BiasLUT:
 
     def __init__(self, lut_path: str | None = None, lut: np.ndarray | None = None):
         if lut is None:
+            lut_path = lut_path or _default_lut_path()
             if lut_path and os.path.exists(lut_path):
-                lut = np.load(lut_path)
+                key = os.path.abspath(lut_path)
+                if key not in _LUT_CACHE:
+                    _LUT_CACHE[key] = np.load(lut_path)
+                lut = _LUT_CACHE[key]
+            elif "__built__" in _LUT_CACHE:
+                lut = _LUT_CACHE["__built__"]
             else:
                 lut = build_bias_lut(lut_path)
+                _LUT_CACHE["__built__"] = lut
         assert lut.shape == (len(X_LUT), len(SG_LUT)), lut.shape
         self.lut = np.asarray(lut, np.float32)
 
