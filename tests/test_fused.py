@@ -1,0 +1,76 @@
+"""Fused single-jit pipeline: must agree with the orchestrated engine."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yondx.isp import bayer2rggb
+from yondx.pipeline import VSTDenoiser, YONDEngine, PipelineConfig
+from yondx.pipeline.fused import make_fused_blind_denoiser, device_bias_curve
+from yondx.vst.lut import BiasLUT, bias_curve_for
+
+
+class _BlurModel:
+    def apply(self, params, x, t=None):
+        from yondx.nle import box_mean
+        return box_mean(x, 7)
+
+
+def _scene(rng, K_true=6.0, sig_true=8.0, scale=959.0):
+    clean = np.kron(rng.random((2, 2, 2)) * 0.6 + 0.1,
+                    np.ones((1, 256, 256)))
+    electrons = clean * scale / K_true
+    noisy = (K_true * rng.poisson(electrons) +
+             rng.normal(0, sig_true, clean.shape)) / scale
+    return clean, np.clip(noisy, 0, 1).astype(np.float32)
+
+
+def test_device_curve_matches_host_curve():
+    lut = BiasLUT()
+    for K, sigma in [(8.74, 12.81), (2.0, 1.0), (20.0, 5.0)]:
+        host = bias_curve_for(K, sigma, lut.lut)
+        dev = np.asarray(device_bias_curve(jnp.asarray(lut.lut),
+                                           jnp.float32(K),
+                                           jnp.float32(sigma)))
+        np.testing.assert_allclose(dev, host, atol=2e-4, rtol=1e-3)
+
+
+def test_fused_matches_engine():
+    rng = np.random.default_rng(11)
+    clean, noisy = _scene(rng)
+    lut = BiasLUT()
+
+    den = VSTDenoiser(_BlurModel(), None, guided=False, bias_corr="pre",
+                      vst_type="exact")
+    eng = YONDEngine(den, PipelineConfig(est_type="simple", max_iter=1),
+                     biaslut=lut)
+    p = {"wp": 1023, "bl": 64, "ratio": 1, "scale": 959.0,
+         "gain": 1.0, "sigma": 0.0}
+    ref = eng.iter_denoise({"lr": noisy}, p)
+
+    fused = make_fused_blind_denoiser(_BlurModel(), None, lut.lut,
+                                      guided=False, max_iter=1)
+    rggb = bayer2rggb(jnp.asarray(noisy))
+    dn, regs = fused(rggb, jnp.float32(959.0))
+    regs = np.asarray(regs)
+
+    # NLE params agree
+    np.testing.assert_allclose(regs[0], ref["regs"][0], rtol=1e-3, atol=1e-7)
+    np.testing.assert_allclose(regs[1], ref["regs"][1], rtol=1e-2, atol=1e-6)
+    # final output agrees with the engine's final round
+    from yondx.isp import rggb2bayer
+    out = np.asarray(rggb2bayer(dn))
+    np.testing.assert_allclose(out, ref["raw_dns"][-1], atol=1e-3)
+
+
+def test_fused_single_dispatch_and_improves_psnr():
+    from yondx.eval import psnr
+    rng = np.random.default_rng(3)
+    clean, noisy = _scene(rng)
+    lut = BiasLUT()
+    fused = make_fused_blind_denoiser(_BlurModel(), None, lut.lut,
+                                      guided=False, max_iter=1)
+    rggb = bayer2rggb(jnp.asarray(noisy))
+    dn, regs = fused(rggb, jnp.float32(959.0))
+    from yondx.isp import rggb2bayer
+    out = np.asarray(rggb2bayer(dn))
+    assert float(psnr(out, clean)) > float(psnr(noisy, clean)) + 3.0

@@ -53,27 +53,37 @@ class NpyFolderDataset:
 
 
 class SyntheticSRGBDataset:
-    """Procedural sRGB crops: smooth gradients + rectangles + band-limited
-    textures, per-index deterministic (the eval-mode setup_seed(idx)
-    contract, yond_datasets.py:289)."""
+    """Procedural sRGB crops: multi-octave smooth fields + flat rectangles
+    + band-limited textures + sharp edges, per-index deterministic (the
+    eval-mode setup_seed(idx) contract, yond_datasets.py:289). Items are
+    memoized (cheap RAM, keeps the host off the training hot path)."""
 
-    def __init__(self, length: int = 1024, size: int = 256, seed: int = 1997):
+    def __init__(self, length: int = 1024, size: int = 256, seed: int = 1997,
+                 cache: bool = True):
         self.length = length
         self.size = size
         self.seed = seed
+        self._cache = {} if cache else None
 
     def __len__(self):
         return self.length
 
     def __getitem__(self, idx: int) -> np.ndarray:
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         rng = np.random.default_rng(self.seed * 100003 + idx)
         S = self.size
         img = np.zeros((S, S, 3), np.float32)
-        # smooth background: low-frequency random field per channel
+        # multi-octave smooth background per channel (Perlin-like)
         for c in range(3):
-            g = rng.random((rng.integers(2, 7), rng.integers(2, 7)))
-            img[..., c] = _bilinear_resize(g, S)
-        # random rectangles with distinct colors (flat regions for the NLE)
+            acc = np.zeros((S, S), np.float32)
+            amp, total = 1.0, 0.0
+            for g in (3, 7, 17, 41):
+                acc += amp * _bilinear_resize(rng.random((g, g)), S)
+                total += amp
+                amp *= 0.5
+            img[..., c] = acc / total
+        # random flat rectangles with distinct colors (flat regions for NLE)
         for _ in range(rng.integers(3, 10)):
             y0, x0 = rng.integers(0, S, 2)
             h, w = rng.integers(S // 16, S // 2, 2)
@@ -87,9 +97,19 @@ class SyntheticSRGBDataset:
             tex = 0.5 + 0.25 * np.sin(2 * np.pi * freq * (xx + yy)
                                       + rng.random() * 6.28)
             img[y0:y0 + h, x0:x0 + h] *= tex[..., None].astype(np.float32)
-        # global brightness jitter, clip
+        # occasional hard diagonal edge (gradient-direction diversity)
+        if rng.random() < 0.5:
+            yy, xx = np.mgrid[0:S, 0:S]
+            a, b = rng.normal(size=2)
+            mask = (a * (yy - S / 2) + b * (xx - S / 2)) > 0
+            img[mask] = img[mask] * rng.random() + rng.random(3) * 0.3
+        # global brightness jitter, clip; stored as uint8 (4x less host ->
+        # device transfer; the train step converts on device)
         img = np.clip(img * (0.4 + rng.random()), 0.0, 1.0)
-        return img.astype(np.float32)
+        img = (img * 255.0 + 0.5).astype(np.uint8)
+        if self._cache is not None:
+            self._cache[idx] = img
+        return img
 
 
 def _bilinear_resize(g: np.ndarray, S: int) -> np.ndarray:

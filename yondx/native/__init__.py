@@ -1,0 +1,132 @@
+"""Native host kernels: build-on-first-use C++ library via ctypes.
+
+The reference's native tier is pip wheels (cv2 filters, the C bm3d wheel,
+LibRaw — SURVEY.md §2.10); yondx ships its own C++ kernels so the host
+side is self-contained:
+
+    from yondx.native import box_mean, local_moments, bilateral_row, bm3d
+
+The shared library is compiled once with g++ -O3 and cached next to this
+file. `available()` reports whether the toolchain/build works; every
+consumer has a pure-numpy/jnp fallback.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "kernels.cpp")
+_LIB = os.path.join(_HERE, "libyondx_kernels.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           "-o", _LIB, _SRC, "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        return True
+    except Exception:
+        try:  # retry without -march=native (portability)
+            cmd.remove("-march=native")
+            subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+            return True
+        except Exception:
+            return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_LIB) or \
+                os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _build():
+                _build_failed = True
+                return None
+        lib = ctypes.CDLL(_LIB)
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.box_mean_f32.argtypes = [f32p, f32p] + [ctypes.c_int] * 4
+        lib.local_moments_f32.argtypes = [f32p, f32p, f32p] + \
+            [ctypes.c_int] * 4
+        lib.bilateral_row_f32.argtypes = [f32p, f32p, ctypes.c_int,
+                                          ctypes.c_int, ctypes.c_float,
+                                          ctypes.c_float]
+        lib.bm3d_ht_f32.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_float, ctypes.c_float]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def box_mean(img: np.ndarray, k: int) -> np.ndarray:
+    """Reflect-101 box mean; img [H,W] or [H,W,C] float32."""
+    lib = _load()
+    assert lib is not None, "native kernels unavailable"
+    squeeze = img.ndim == 2
+    x = np.ascontiguousarray(
+        (img[..., None] if squeeze else img).transpose(2, 0, 1),
+        np.float32)
+    out = np.empty_like(x)
+    C, H, W = x.shape
+    lib.box_mean_f32(x, out, C, H, W, k)
+    out = out.transpose(1, 2, 0)
+    return out[..., 0] if squeeze else out
+
+
+def local_moments(img: np.ndarray, k: int):
+    """Fused (mean, var) maps; img [H,W] or [H,W,C] float32."""
+    lib = _load()
+    assert lib is not None, "native kernels unavailable"
+    squeeze = img.ndim == 2
+    x = np.ascontiguousarray(
+        (img[..., None] if squeeze else img).transpose(2, 0, 1),
+        np.float32)
+    mean = np.empty_like(x)
+    var = np.empty_like(x)
+    C, H, W = x.shape
+    lib.local_moments_f32(x, mean, var, C, H, W, k)
+    mean = mean.transpose(1, 2, 0)
+    var = var.transpose(1, 2, 0)
+    if squeeze:
+        return mean[..., 0], var[..., 0]
+    return mean, var
+
+
+def bilateral_row(signal: np.ndarray, d: int = 25,
+                  sigma_color: float = 10.0,
+                  sigma_space: float = 1.0) -> np.ndarray:
+    lib = _load()
+    assert lib is not None, "native kernels unavailable"
+    x = np.ascontiguousarray(signal, np.float32)
+    out = np.empty_like(x)
+    lib.bilateral_row_f32(x, out, x.shape[0], d, sigma_color, sigma_space)
+    return out
+
+
+def bm3d(img: np.ndarray, sigma: float, lambda3d: float = 2.7) -> np.ndarray:
+    """Block-matching 3-D hard-threshold denoise of a [H,W] (or [H,W,C],
+    per-channel) float image with noise std `sigma` — the denoiser_type
+    'bm3d' slot (reference YOND_SIDD.py:266-272 calls bm3d(x, nsr))."""
+    lib = _load()
+    assert lib is not None, "native kernels unavailable"
+    if img.ndim == 3:
+        return np.stack([bm3d(img[..., c], sigma, lambda3d)
+                         for c in range(img.shape[-1])], axis=-1)
+    x = np.ascontiguousarray(img, np.float32)
+    out = np.empty_like(x)
+    lib.bm3d_ht_f32(x, out, x.shape[0], x.shape[1], float(sigma),
+                    float(lambda3d))
+    return out

@@ -22,6 +22,24 @@ import jax.numpy as jnp
 NBINS = 1000
 
 
+def adaptive_threshold_score2(texture, step: int = 1):
+    """score2 mode (reference get_threshold, YOND_SIDD.py:14-21): score
+    each percentile threshold by th/quant; start 5 past the first positive
+    score; pick argmin. Used by the PG est-net data pipeline
+    (yond_datasets.py:736)."""
+    data = texture.reshape(-1)
+    n_q = 100 // step
+    quants = jnp.linspace(step, 100, n_q)
+    ths = jnp.percentile(data, quants, method="linear")
+    score = ths / quants
+    start = jnp.argmax(score > 0) + 5
+    # argmin over score[start:] with static shapes: mask positions < start
+    idx = jnp.arange(n_q)
+    masked = jnp.where(idx >= start, score, jnp.inf)
+    i = jnp.argmin(masked)
+    return ths[i], quants[i]
+
+
 def adaptive_threshold_score3(texture, mean, step: int = 5):
     """Returns (th, quant_percent) — jit-safe.
 

@@ -10,9 +10,10 @@ TPU-native rebuild of YOND_SIDD.py's pipeline layer (`VST_Denoiser` :250,
   on device (see yondx.vst.lut);
 - host code only orchestrates iteration guards and noise-parameter scalars.
 """
-from .denoiser import VSTDenoiser, SimpleDenoiser
+from .denoiser import VSTDenoiser, SimpleDenoiser, BM3DVSTDenoiser
 from .engine import YONDEngine, PipelineConfig
 from .runner import TiledRunner
 
-__all__ = ["VSTDenoiser", "SimpleDenoiser", "YONDEngine", "PipelineConfig",
+__all__ = ["VSTDenoiser", "SimpleDenoiser", "BM3DVSTDenoiser",
+           "YONDEngine", "PipelineConfig",
            "TiledRunner"]

@@ -95,6 +95,48 @@ class VSTDenoiser:
                          jnp.float32(scale))
 
 
+class BM3DVSTDenoiser:
+    """Host BM3D in VST space (reference VST_Denoiser bm3d branch,
+    YOND_SIDD.py:266-272): normalize the VST output by its own min/max,
+    run block-matching 3-D hard-threshold denoising at sigma = nsr, invert.
+    Device ops (VST, bias, inverse) still run on the accelerator; only the
+    BM3D core is host C++ (yondx.native)."""
+
+    def __init__(self, *, bias_corr: Optional[str] = "pre",
+                 vst_type: str = "exact"):
+        from .. import native
+        assert native.available(), "native kernels required for bm3d"
+        self._bm3d = native.bm3d
+        self.bias_corr = bias_corr
+        self.exact_inverse = bias_corr is None and vst_type == "exact"
+        self.model = None
+        self.params = None
+        self.pad_base = 1
+
+    def __call__(self, lr_bayer, curve, K, sigma, scale):
+        import numpy as np
+        single = lr_bayer.ndim == 2
+        if single:
+            lr_bayer = lr_bayer[None]
+        rggb = bayer2rggb(jnp.asarray(lr_bayer))
+        x = rggb * scale
+        z = vst(x, sigma, gain=K)
+        if self.bias_corr == "pre":
+            bias = lookup_bias_curve(jnp.maximum(x, 0.0),
+                                     jnp.asarray(curve, jnp.float32), K)
+            z = z - bias
+        z_np = np.asarray(z)
+        lower, upper = float(z_np.min()), float(z_np.max())
+        nsr = 1.0 / max(upper - lower, 1e-8)
+        zn = (z_np - lower) * nsr
+        out = np.stack([self._bm3d(zn[b], 1.0 * nsr)
+                        for b in range(zn.shape[0])])
+        z = jnp.asarray(out) * (upper - lower) + lower
+        xd = inverse_vst(z, sigma, gain=K, exact=self.exact_inverse)
+        bayer = rggb2bayer(jnp.clip(xd / scale, 0.0, 1.0))
+        return bayer[0] if single else bayer
+
+
 class SimpleDenoiser:
     """Non-VST path (reference Simple_Denoiser, YOND_SIDD.py:238-248):
     clamp -> net -> clamp on packed planes."""

@@ -1,0 +1,155 @@
+"""Fully-fused blind denoiser: the whole YOND iteration in ONE jit.
+
+The orchestrated engine (yondx.pipeline.engine) mirrors the reference's
+host-side control flow: NLE scalars come back to the host, the bias curve
+is built there, guards branch in Python. That costs 4+ device round-trips
+per image. This module fuses everything:
+
+    rggb -> self NLE -> (K, sigma) [device scalars]
+         -> bias curve from the device-resident 2-D LUT (sg row blend +
+            closed-form extension, all traced)
+         -> VST denoise round 0
+         -> collaborative NLE -> guards as lax selects
+         -> VST denoise round 1 (selected against round 0 on guard failure)
+
+One dispatch, zero host syncs; the iteration guards (reference
+YOND_SIDD.py:438-447) become arithmetic selects — the rare aborted
+iteration wastes one denoise pass but keeps the graph static.
+
+This is the throughput path (bench.py) and the one-call "ANY camera" API.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..nle.boxfilter import box_mean, stdfilt
+from ..nle.threshold import adaptive_threshold_score3
+from ..nle.fit import masked_linefit, nonsat_weights
+from ..vst import vst, inverse_vst, lookup_bias_curve
+from ..vst.lut import X_LUT, SG_LUT, X_EXT, FULL_X_GRID
+from ..core.tiling import pad_to_multiple, unpad
+
+
+def _close_form_bias_jnp(lam, sg):
+    """Foi TIP-13 closed-form bias, electron domain (isp_algos.py:84-96)."""
+    y_hat = lam + 3.0 / 8.0 + sg ** 2
+    m1 = (lam + sg ** 2) / y_hat ** 2
+    m2 = lam / y_hat ** 3
+    m3 = (lam + 3.0 * (lam + sg ** 2) ** 2) / y_hat ** 4
+    return 2.0 * jnp.sqrt(y_hat) * (-m1 / 8.0 + m2 / 16.0 - 5.0 * m3 / 128.0)
+
+
+def device_bias_curve(lut, K, sigma):
+    """Traced bias curve over FULL_X_GRID from the device-resident 2-D LUT.
+
+    sg = sigma/K: in [0,10] -> fractional-index blend of two sg columns;
+    beyond -> closed-form everywhere (documented approximation of the
+    host fallback). Extension past 2^10 e- is closed-form as on the host.
+    """
+    sg = sigma / K
+    pos = jnp.where(sg < 1.0, sg / 0.005, 200.0 + (sg - 1.0) / 0.01)
+    pos = jnp.clip(pos, 0.0, len(SG_LUT) - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, len(SG_LUT) - 1)
+    w = pos - lo
+    base = lut[:, lo] * (1.0 - w) + lut[:, hi] * w
+    base = jnp.where(sg <= SG_LUT[-1], base,
+                     _close_form_bias_jnp(jnp.asarray(X_LUT), sg))
+    ext = _close_form_bias_jnp(jnp.asarray(X_EXT), sg)
+    return jnp.concatenate([base, ext]).astype(jnp.float32)
+
+
+def _nlf_core(var, mean, texture, step: int):
+    th, _ = adaptive_threshold_score3(texture, mean, step=step)
+    mask = (texture < th).astype(jnp.float32)
+    th25 = jnp.percentile(texture.reshape(-1), 25.0, method="linear")
+    mask = jnp.where(jnp.sum(mask) == 0,
+                     (texture < th25).astype(jnp.float32), mask)
+    mask = jnp.where(jnp.sum(mask) == 0, jnp.ones_like(mask), mask)
+    w = nonsat_weights(mean, mask)
+    return masked_linefit(mean, var, w)
+
+
+def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
+                              guided: bool = True, k: int = 29,
+                              step: int = 5, bias_corr: str = "pre",
+                              sigma_corr: float = 1.03,
+                              max_iter: int = 1, pad_base: int = 32,
+                              compute_dtype=None):
+    """Build jit fn(rggb [B,h,w,4], scale) -> (dn [B,h,w,4], regs [2,2]).
+
+    `lut` is captured as a device constant (8.5 MB, lives in HBM).
+    regs[i] = (beta1, beta2) of round i.
+    """
+    lut_dev = jnp.asarray(lut, jnp.float32)
+    exact_inverse = bias_corr is None
+
+    def net(z, nsr):
+        zp, p2d = pad_to_multiple(z, pad_base)
+        zin = jnp.clip(zp, 0.0, 1.0)
+        if compute_dtype is not None:
+            zin = zin.astype(compute_dtype)
+        if guided:
+            t = jnp.broadcast_to(nsr * sigma_corr, (zin.shape[0],))
+            out = model.apply(params, zin, t)
+        else:
+            out = model.apply(params, zin)
+        out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+        return unpad(out, p2d)
+
+    def denoise(x01, K, sigma, scale):
+        xd = x01 * scale
+        z = vst(xd, sigma, gain=K)
+        if bias_corr == "pre":
+            curve = device_bias_curve(lut_dev, K, sigma)
+            z = z - lookup_bias_curve(jnp.maximum(xd, 0.0), curve, K)
+        lower = vst(jnp.zeros(()), sigma, gain=K)
+        upper = vst(scale, sigma, gain=K)
+        nsr = 1.0 / (upper - lower)
+        z = (z - lower) * nsr
+        z = net(z, nsr)
+        z = z * (upper - lower) + lower
+        xd = inverse_vst(z, sigma, gain=K, exact=exact_inverse)
+        return jnp.clip(xd / scale, 0.0, 1.0)
+
+    def self_est(x):
+        std_k = stdfilt(x, k)
+        mean = box_mean(x, k)
+        tex = stdfilt(box_mean(x, k // 3 * 2 + 1), k)
+        return _nlf_core(std_k * std_k, mean, tex, step)
+
+    def collab_est(lr, dn):
+        lr_k = stdfilt(lr, k)
+        dn_k = stdfilt(dn, k)
+        var = lr_k * lr_k - dn_k * dn_k
+        mean = box_mean(dn, k)
+        return _nlf_core(var, mean, dn_k, step)
+
+    @jax.jit
+    def fused(rggb, scale):
+        b1, b2 = self_est(rggb)
+        b1 = jnp.maximum(b1, 1e-4 / scale)  # defensive K clamp
+        K0 = b1 * scale
+        sig0 = jnp.sqrt(jnp.maximum(b2, 0.0)) * scale
+        dn0 = denoise(rggb, K0, sig0, scale)
+
+        dn = dn0
+        regs = [jnp.stack([b1, b2])]
+        for _ in range(max_iter):
+            c1, c2 = collab_est(rggb, dn)
+            # guard: beta2 < 0 -> beta1^2 (YOND_SIDD.py:438-440)
+            c2 = jnp.where(c2 < 0, c1 ** 2, c2)
+            ok = c1 > 0  # beta1 < 0 -> keep previous round (:445-447)
+            K1 = jnp.maximum(c1, 1e-4 / scale) * scale
+            sig1 = jnp.sqrt(c2) * scale
+            dn1 = denoise(rggb, K1, sig1, scale)
+            dn = jnp.where(ok, dn1, dn)
+            regs.append(jnp.where(ok, jnp.stack([c1, c2]), regs[-1]))
+        return dn, jnp.stack(regs)
+
+    return fused

@@ -136,6 +136,8 @@ class AWGNTrainer:
         def step(params, opt_state, key, batch, lr_value, ema_params,
                  use_consistency):
             k_data, k_noise, k_cons = jax.random.split(key, 3)
+            if batch.dtype == jnp.uint8:
+                batch = batch.astype(jnp.float32) / 255.0
             hr, wb, cam2rgb, pattern = srgb_to_pseudo_raw(
                 k_data, batch, bayer_aug_enabled=bayeraug)
             noisy, sigma = awgn_log_uniform(k_noise, hr, smin, smax)
@@ -257,8 +259,10 @@ class AWGNTrainer:
         key = jax.random.PRNGKey(2024)
         for i, batch in enumerate(loader.epoch(0)):
             key, k1, k2 = jax.random.split(key, 3)
-            hr, _, _, _ = srgb_to_pseudo_raw(k1, jnp.asarray(batch),
-                                             bayer_aug_enabled=False)
+            b = jnp.asarray(batch)
+            if b.dtype == jnp.uint8:
+                b = b.astype(jnp.float32) / 255.0
+            hr, _, _, _ = srgb_to_pseudo_raw(k1, b, bayer_aug_enabled=False)
             noise = jax.random.normal(k2, hr.shape) * sig
             lr = jnp.clip(hr + noise, 0, 1) if self.clip else hr + noise
             hr = jnp.clip(hr, 0, 1) if self.clip else hr
