@@ -42,6 +42,13 @@ def build_parser():
                    help="evaluate only the first N scenes")
     p.add_argument("--cpu", action="store_true", default=False,
                    help="force the CPU backend")
+    p.add_argument("--input", default=None,
+                   help="ANY mode: blind-denoise one raw file "
+                        "(npy/mat/png; camera raws need rawpy)")
+    p.add_argument("--output", default=None, help="ANY mode output npy")
+    p.add_argument("--wp", type=int, default=1023)
+    p.add_argument("--bl", type=int, default=64)
+    p.add_argument("--ratio", type=float, default=1.0)
     return p
 
 
@@ -116,18 +123,39 @@ class YOND:
         if name == "SIDD_Dataset":
             from ..data.datasets import SIDDValDataset
             return SIDDValDataset(root, mode=dst.get("mode", mode))
+        if name == "LRID_Dataset":
+            from ..data.eval_datasets import LRIDDataset
+            return LRIDDataset(root, subset=dst.get("subset", "indoor"))
+        if name in ("ELD_Full_Dataset", "ELD_Dataset"):
+            from ..data.eval_datasets import ELDDataset
+            return ELDDataset(root,
+                              camera_suffix=tuple(dst.get(
+                                  "camera_suffix", ("SonyA7S2", ".ARW"))))
         raise NotImplementedError(
-            f"dataset {name!r}: provide data under {root!r} (SIDD) or use "
+            f"dataset {name!r}: provide data under {root!r} or use "
             "the synthetic self-test via bench.py")
 
     def eval(self, limit=None):
-        from ..eval.sidd import SIDDEvalHarness
-        dst = self._dataset("eval")
-        harness = SIDDEvalHarness(
-            self.engine, dst, self.method_name,
-            max_iter=self.pipe.max_iter, save_plot=self.save_plot,
-            sample_dir=self.sample_dir, logfile=self.logfile)
-        return harness.run(limit=limit or self.parser.limit)
+        limit = limit or self.parser.limit
+        if self.pipe.data_type == "SIDD":
+            from ..eval.sidd import SIDDEvalHarness
+            harness = SIDDEvalHarness(
+                self.engine, self._dataset("eval"), self.method_name,
+                max_iter=self.pipe.max_iter, save_plot=self.save_plot,
+                sample_dir=self.sample_dir, logfile=self.logfile)
+            return harness.run(limit=limit)
+        from ..eval.fullframe import FullFrameHarness
+        harness = FullFrameHarness(
+            self.engine, self._dataset("eval"), self.method_name,
+            illum_correct=(self.pipe.data_type == "ELD"),
+            logfile=self.logfile)
+        return harness.run(limit=limit)
+
+    def denoise_any(self, path: str, out: str | None = None):
+        from ..eval.fullframe import denoise_any
+        return denoise_any(self.engine, path, wp=self.parser.wp,
+                           bl=self.parser.bl, ratio=self.parser.ratio,
+                           out_path=out)
 
     def benchmark(self, limit=None):
         from ..eval.sidd import SIDDEvalHarness
@@ -141,6 +169,12 @@ class YOND:
 
 def main(argv=None):
     app = YOND(argv)
+    if app.parser.input:
+        out = app.parser.output or (os.path.splitext(
+            app.parser.input)[0] + "_denoised.npy")
+        app.denoise_any(app.parser.input, out)
+        log(f"Denoised frame saved to {out}")
+        return
     if "eval" in app.mode:
         metrics = app.eval()
         log(f"Metrics saved in ./metrics/{app.method_name}_metrics.pkl")

@@ -1,0 +1,132 @@
+"""Full-frame eval harness: ELD / LRID / DND / ANY paths.
+
+The reference's YOND_ELD/LRID/DND/any.py entry scripts (absent from the
+public snapshot; behavior specified by their runfiles + datasets —
+SURVEY.md §2.11): full_est + full_dn on whole frames, denoiser gru32n/
+grumix, ELD adds illuminance alignment against the GT exposure. Frames too
+large for one pass go through the overlap-tiled runner; NLE runs on the
+whole frame (optionally downsampled strips for 50 MP inputs).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.logging import log
+from ..core.meters import AverageMeter, MetricsRecorder
+from ..data.augment import illuminance_correct
+from ..isp import bayer2rggb, rot_bayer
+from ..pipeline.runner import TiledRunner
+from .metrics import psnr, matlab_ssim
+
+
+class FullFrameHarness:
+    """Evaluate the engine on full-resolution frames.
+
+    engine: YONDEngine; dataset yields {'name','lr'[H,W],'hr'?,'cfa',
+    'wp','bl','ratio'}. tile=0 -> whole-frame single pass.
+    """
+
+    def __init__(self, engine, dataset, method_name: str,
+                 tile: int = 0, halo: int = 64,
+                 illum_correct: bool = False,
+                 logfile: Optional[str] = None):
+        self.engine = engine
+        self.dataset = dataset
+        self.method_name = method_name
+        self.tile = tile
+        self.halo = halo
+        self.illum_correct = illum_correct
+        self.logfile = logfile or f"./logs/log_{method_name}.log"
+        self.metrics = MetricsRecorder(
+            f"./metrics/{method_name}_metrics.pkl")
+        self.psnr_m = AverageMeter("PSNR")
+        self.ssim_m = AverageMeter("SSIM")
+
+    def _denoise_frame(self, lr: np.ndarray, p: Dict[str, Any]):
+        if self.tile:
+            # estimate once on the frame, denoise tiled
+            reg = self.engine._estimate_self(lr)
+            p["gain"] = max(reg[0] * (p["wp"] - p["bl"]), 1e-4)
+            p["sigma"] = float(np.sqrt(max(reg[1], 0.0))) * \
+                (p["wp"] - p["bl"])
+            curve = self.engine.biaslut.curve(p["gain"], p["sigma"])
+            runner = TiledRunner(self.engine.denoiser, tile=self.tile,
+                                 halo=self.halo)
+            dn = runner(lr, curve, p["gain"], p["sigma"], p["scale"])
+            return [np.clip(dn, 0, 1)], [reg]
+        res = self.engine.iter_denoise({"lr": lr}, p)
+        return res["raw_dns"], res["regs"]
+
+    def run(self, limit: Optional[int] = None) -> Dict[str, Any]:
+        n = len(self.dataset) if limit is None else min(limit,
+                                                        len(self.dataset))
+        for k in range(n):
+            data = self.dataset[k]
+            name = data["name"]
+            wp, bl = data.get("wp", 1023), data.get("bl", 64)
+            ratio = data.get("ratio", 1.0)
+            p = {"wp": wp, "bl": bl, "ratio": ratio,
+                 "scale": (wp - bl) / ratio, "gain": 1.0, "sigma": 0.0,
+                 "cfa": data.get("cfa", [[1, 2], [2, 3]])}
+            lr = np.asarray(data["lr"], np.float32)
+            if p["cfa"] != [[1, 2], [2, 3]]:
+                p["rot_cfa"] = True
+            raw_dns, regs = self._denoise_frame(lr, p)
+            dn = raw_dns[-1]
+            rec = {"reg": regs}
+            if "hr" in data:
+                hr = np.asarray(data["hr"], np.float32)
+                if self.illum_correct:
+                    dn = np.asarray(illuminance_correct(
+                        jnp.asarray(dn)[None, ..., None],
+                        jnp.asarray(hr)[None, ..., None]))[0, ..., 0]
+                pv = float(psnr(dn, hr, data_range=1.0))
+                sv = float(matlab_ssim(dn * 255, hr * 255))
+                self.psnr_m.update(pv)
+                self.ssim_m.update(sv)
+                rec.update({"psnr": pv, "ssim": sv})
+                log(f"{name}: PSNR={pv:.2f}, SSIM={sv:.4f}",
+                    logfile=self.logfile)
+            self.metrics[name] = rec
+        if self.psnr_m.count:
+            log(f"{self.method_name}: PSNR={self.psnr_m.avg:.2f}, "
+                f"SSIM={self.ssim_m.avg:.4f}", logfile=self.logfile)
+        self.metrics.save()
+        return {"psnr": self.psnr_m.avg, "ssim": self.ssim_m.avg}
+
+
+def denoise_any(engine, path_or_array, wp: int = 1023, bl: int = 64,
+                ratio: float = 1.0, cfa=None, tile: int = 1024,
+                halo: int = 64, out_path: Optional[str] = None):
+    """The YOND_any path: blind-denoise one arbitrary-camera raw frame.
+
+    Accepts a file path (any format yondx.core.io.dataload reads) or a
+    bayer array. Values > 1 are treated as DN and normalized by (wp, bl).
+    Returns the denoised bayer in [0, 1]; optionally saves npy.
+    """
+    from ..core.io import dataload
+    raw = dataload(path_or_array) if isinstance(path_or_array, str) \
+        else np.asarray(path_or_array)
+    raw = raw.astype(np.float32)
+    if raw.max() > 1.5:
+        raw = (raw - bl) / (wp - bl)
+    raw = np.clip(raw * ratio, 0.0, 1.0)
+    if cfa is not None and cfa != [[1, 2], [2, 3]]:
+        raw = np.asarray(rot_bayer(jnp.asarray(raw), cfa))
+    reg = engine._estimate_self(raw)
+    gain = max(reg[0] * (wp - bl), 1e-4)
+    sigma = float(np.sqrt(max(reg[1], 0.0))) * (wp - bl)
+    log(f"ANY est: K={gain:.3f} sigma={sigma:.3f} "
+        f"(beta1={reg[0]:.3e}, beta2={reg[1]:.3e})")
+    curve = engine.biaslut.curve(gain, sigma)
+    runner = TiledRunner(engine.denoiser, tile=tile, halo=halo)
+    dn = np.clip(runner(raw, curve, gain, sigma, (wp - bl) / ratio), 0, 1)
+    if cfa is not None and cfa != [[1, 2], [2, 3]]:
+        dn = np.asarray(rot_bayer(jnp.asarray(dn), cfa, rev=True))
+    if out_path:
+        np.save(out_path, dn)
+    return dn

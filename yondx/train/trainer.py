@@ -56,7 +56,14 @@ class AWGNTrainer:
         self.logfile = f"./logs/log_{self.model_name}.log"
 
         self.model = build_model(self.arch, dtype=dtype)
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            # default mesh: as many devices as divide the batch size
+            n = len(jax.devices())
+            bs = self.hyper["batch_size"]
+            while n > 1 and bs % n:
+                n -= 1
+            mesh = make_mesh(n)
+        self.mesh = mesh
         ps = self.dst.get("patch_size", 256)
         self.params = init_params(self.model, jax.random.PRNGKey(0),
                                   (1, ps // 2, ps // 2, self.arch["in_nc"]),
