@@ -80,7 +80,8 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
                               step: int = 5, bias_corr: str = "pre",
                               sigma_corr: float = 1.03,
                               max_iter: int = 1, pad_base: int = 32,
-                              compute_dtype=None):
+                              compute_dtype=None,
+                              use_pallas_nle: bool = False):
     """Build jit fn(rggb [B,h,w,4], scale) -> (dn [B,h,w,4], regs [2,2]).
 
     `lut` is captured as a device constant (8.5 MB, lives in HBM).
@@ -117,18 +118,31 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
         xd = inverse_vst(z, sigma, gain=K, exact=exact_inverse)
         return jnp.clip(xd / scale, 0.0, 1.0)
 
-    def self_est(x):
-        std_k = stdfilt(x, k)
-        mean = box_mean(x, k)
-        tex = stdfilt(box_mean(x, k // 3 * 2 + 1), k)
-        return _nlf_core(std_k * std_k, mean, tex, step)
+    if use_pallas_nle:
+        from ..nle.pallas_ops import fused_moments
 
-    def collab_est(lr, dn):
-        lr_k = stdfilt(lr, k)
-        dn_k = stdfilt(dn, k)
-        var = lr_k * lr_k - dn_k * dn_k
-        mean = box_mean(dn, k)
-        return _nlf_core(var, mean, dn_k, step)
+        def self_est(x):
+            mean, var, tex = fused_moments(x, k=k)
+            return _nlf_core(var, mean, tex, step)
+
+        def collab_est(lr, dn):
+            _, var_lr, _ = fused_moments(lr, k=k)
+            mean_dn, var_dn, _ = fused_moments(dn, k=k)
+            return _nlf_core(var_lr - var_dn, mean_dn,
+                             jnp.sqrt(var_dn), step)
+    else:
+        def self_est(x):
+            std_k = stdfilt(x, k)
+            mean = box_mean(x, k)
+            tex = stdfilt(box_mean(x, k // 3 * 2 + 1), k)
+            return _nlf_core(std_k * std_k, mean, tex, step)
+
+        def collab_est(lr, dn):
+            lr_k = stdfilt(lr, k)
+            dn_k = stdfilt(dn, k)
+            var = lr_k * lr_k - dn_k * dn_k
+            mean = box_mean(dn, k)
+            return _nlf_core(var, mean, dn_k, step)
 
     @jax.jit
     def fused(rggb, scale):
