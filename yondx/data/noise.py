@@ -75,6 +75,64 @@ def sample_params(camera_type: str = "NikonD850", ln_ratio: bool = False,
             "wp": wp, "bl": bl}
 
 
+def sample_params_max(camera_type: str = "NikonD850",
+                      ratio: Optional[float] = None, iso=None,
+                      rng: Optional[np.random.Generator] = None) -> dict:
+    """Max-ISO noise-parameter sampler (process.py:351-391): K at Kmax with
+    1% jitter, sigmas from the regression at log Kmax (or the per-ISO point
+    calibration when `iso` is given), exposure ratio U(100,300) for Sony /
+    exp-U(0,2.08) otherwise."""
+    rng = rng or np.random.default_rng()
+    params = get_specific_noise_params(camera_type, iso) \
+        if iso is not None else None
+    if params is None:
+        cam = camera_type
+        if cam in DUAL_ISO_CAMERAS:
+            cam += "_lowISO" if rng.integers(2) < 1 else "_highISO"
+        p = get_camera_noisy_params(cam)
+        log_K = p["Kmax"] + rng.uniform(-0.01, 0.01)
+        K = float(np.exp(log_K))
+        sigTL = float(np.exp(p["sigTLk"] * log_K + p["sigTLb"]))
+        sigR = float(np.exp(p["sigRk"] * log_K + p["sigRb"]))
+        mu_Gs = p["sigGsk"] * log_K + p["sigGsb"] if "sigGsk" in p \
+            else 2 ** -14
+        sigGs = float(np.exp(rng.normal(mu_Gs, p.get("sigGssig", 0.0))))
+        bias = 0.0
+    else:
+        p = params
+        K = float(p["Kmax"] * (1 + rng.uniform(-0.01, 0.01)))
+        sigGs = float(rng.normal(p["sigGs"], p.get("sigGssig", 0.0)))
+        sigTL = float(rng.normal(p["sigTL"], p.get("sigTLsig", 0.0)))
+        sigR = float(rng.normal(p["sigR"], p.get("sigRsig", 0.0)))
+        bias = p.get("bias", 0.0)
+    if ratio is None:
+        if "SonyA7S2" in camera_type:
+            ratio = float(rng.uniform(100, 300))
+        else:
+            ratio = float(np.exp(rng.uniform(0, 2.08)))
+    return {"K": K, "sigTL": sigTL, "sigR": sigR, "sigGs": sigGs,
+            "bias": bias, "lam": p["lam"], "q": p["q"], "ratio": ratio,
+            "wp": p["wp"], "bl": p["bl"]}
+
+
+def brooks_noise_levels(key):
+    """Brooks et al. log-log shot/read sampler (reference
+    random_noise_levels, unprocess.py:218-229; unused by YOND training but
+    part of the surface)."""
+    k1, k2 = jax.random.split(key)
+    log_shot = jax.random.uniform(k1, minval=np.log(1e-4),
+                                  maxval=np.log(0.012))
+    shot = jnp.exp(log_shot)
+    log_read = 2.18 * log_shot + 1.20 + 0.26 * jax.random.normal(k2)
+    return shot, jnp.exp(log_read)
+
+
+def brooks_add_noise(key, image, shot_noise=0.01, read_noise=0.0005):
+    """var = shot*I + read Gaussian corruption (unprocess.py:232-240)."""
+    var = image * shot_noise + read_noise
+    return image + jax.random.normal(key, image.shape) * jnp.sqrt(var)
+
+
 def _tukeylambda(key, lam, shape):
     u = jax.random.uniform(key, shape, minval=1e-7, maxval=1 - 1e-7)
     lam = jnp.float32(lam)

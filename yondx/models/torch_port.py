@@ -119,6 +119,18 @@ def load_pth(path: str) -> Dict[str, Any]:
     return sd
 
 
+def pth_transfer(src_path: str, dst_path: str, key: str = "netG") -> None:
+    """Extract a sub-network state dict from a composite checkpoint
+    (reference pth_transfer, utils/utils.py:338-351 — used for ELD-style
+    checkpoints that wrap the denoiser under 'netG')."""
+    import torch
+    blob = torch.load(src_path, map_location="cpu", weights_only=False)
+    sd = blob[key] if key in blob else blob
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    torch.save(sd, dst_path)
+
+
 PORTERS = {
     "GuidedResUnet": guidedresunet_from_torch,
     "UNetSeeInDark": unetseeindark_from_torch,

@@ -72,6 +72,15 @@ def stdfilt(x, k: int):
     return jnp.sqrt(jnp.maximum(varfilt(x, k), 0.0))
 
 
+def var_corr(x, k: int):
+    """Mean²/mean-of-squares ratio map (reference var_corr,
+    isp_algos.py:256-264) — the content-vs-noise correction factor for
+    variance fits on textured regions."""
+    m = box_mean(x, k)
+    m2 = box_mean(x * x, k)
+    return (m * m) / jnp.maximum(m2, 1e-20)
+
+
 def np_box_mean(x: np.ndarray, k: int) -> np.ndarray:
     """Host twin via cv2 (bit-compatible with the reference's cv2.blur)."""
     import cv2

@@ -39,6 +39,37 @@ def masked_linefit(x, y, w):
     return jnp.where(ok, beta1, 0.0), jnp.where(ok, beta2, 0.0)
 
 
+def ransac_linefit(x, y, mask=None, min_samples: int | None = None,
+                   n_trials: int = 64, seed: int = 2024):
+    """Host-side RANSAC line fit (the reference's ransac=True branch,
+    isp_algos.py:353-362, seeded 2024 like setup_seed there). Returns
+    (beta1, beta2) of the best-consensus model refit on its inliers."""
+    import numpy as np
+    x = np.asarray(x, np.float64).reshape(-1)
+    y = np.asarray(y, np.float64).reshape(-1)
+    if mask is not None:
+        keep = np.asarray(mask).reshape(-1) > 0
+        x, y = x[keep], y[keep]
+    n = len(x)
+    if n < 2:
+        return 0.0, 0.0
+    rng = np.random.default_rng(seed)
+    m = min_samples or max(int(np.sqrt(n)), 2)
+    resid_scale = max(np.median(np.abs(y - np.median(y))), 1e-12)
+    best_inl, best = -1, (0.0, 0.0)
+    for _ in range(n_trials):
+        idx = rng.choice(n, size=m, replace=False)
+        A = np.vstack([x[idx], np.ones(m)]).T
+        (b1, b2), *_ = np.linalg.lstsq(A, y[idx], rcond=None)
+        resid = np.abs(y - (b1 * x + b2))
+        inl = resid < resid_scale
+        if inl.sum() > best_inl:
+            A2 = np.vstack([x[inl], np.ones(int(inl.sum()))]).T
+            best = tuple(np.linalg.lstsq(A2, y[inl], rcond=None)[0])
+            best_inl = int(inl.sum())
+    return float(best[0]), float(best[1])
+
+
 def nonsat_weights(x, w):
     """Apply the reference's saturation filter (isp_algos.py:348-350):
     keep 1e-4 < x < 0.8 if that retains > 1% of the masked points, else

@@ -34,3 +34,24 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
+
+
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> int:
+    """Multi-host (DCN) initialization — the TPU-native analog of the
+    reference's torch.distributed.init_process_group + LOCAL_RANK plumbing
+    (trainer_base.py:73,117-125). Call once per host before building the
+    mesh; with no args it reads the standard cluster env (TPU pods
+    auto-discover). Returns this host's process index. Data loading should
+    shard by process index (the DistributedSampler analog)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    elif coordinator is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process / already initialized
+    return jax.process_index()

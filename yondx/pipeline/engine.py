@@ -16,6 +16,7 @@ whole crop batch.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -89,6 +90,42 @@ class YONDEngine:
         b1, b2 = collab_nlf(rggb_lr, rggb_dn, k=self.pipe.k)
         return float(b1), float(b2)
 
+    def _file_based_est(self, data, img_id: int, p) -> tuple:
+        """Precomputed-estimator dispatch (reference YOND_SIDD.py:316-337):
+        'cal_est' -> pkl record (per-camera beta polynomials vs ISO or
+        per-(camera,iso) points); 'foi'/'liu' -> .mat 'return_params';
+        'zou'/'pge' -> .npy rows. Paths come from pipeline extras / the
+        dataset root dir."""
+        import pickle as pkl
+        pipe = self.pipe
+        root = data.get("root_dir", "")
+        if "cal_est" in getattr(pipe, "est_type", "") or \
+                getattr(pipe, "cal_est", None):
+            path = getattr(pipe, "cal_est", None) or data["cal_est"]
+            with open(path, "rb") as f:
+                record = pkl.load(f)
+            name = data["name"]
+            ct, iso = name.split("_")[2], int(name.split("_")[3])
+            key = f"{ct}_{iso:05d}"
+            if key in record["sfrn"]:
+                return tuple(record["sfrn"][key])
+            return (float(np.poly1d(record["beta1"][ct])(iso)),
+                    float(np.poly1d(record["beta2"][ct])(iso)))
+        base = os.path.join(root, "SIDD_Validation_Raw")
+        if "foi" in pipe.est_type or "liu" in pipe.est_type:
+            import scipy.io as sio
+            tag = "FoiEst" if "foi" in pipe.est_type else "LiuEst"
+            reg = sio.loadmat(
+                os.path.join(base, f"{tag}_fullPict.mat"))["return_params"][
+                img_id]
+            return float(reg[0]), float(reg[1])
+        if "zou" in pipe.est_type:
+            reg = np.load(os.path.join(base, "Zou_fullPict.npy"))[img_id]
+            return float(reg[0]), float(reg[1])
+        # 'pge' from file: reg[1] is sigma, squared to beta2 (:330-337)
+        reg = np.load(os.path.join(base, "PGE_fullPict.npy"))[img_id]
+        return float(reg[0]), float(reg[1]) ** 2
+
     # ------------------------------------------------------------ denoise
     def _denoise_round(self, lr, p, hr=None):
         """One denoise pass over the crop batch / frame."""
@@ -127,11 +164,17 @@ class YONDEngine:
                 reg = (p["gain"] / (p["wp"] - p["bl"]),
                        (p["sigma"] / (p["wp"] - p["bl"])) ** 2)
             elif "simple" in pipe.est_type or "ours" in pipe.est_type:
+                # NOTE 'ours' (NeuralNLF) in the public reference snapshot
+                # has the same body as SimpleNLF — the est nets in the
+                # setting dict go unused (YOND_SIDD.py:127-134 vs :117-124)
                 raw4est = data.get("lr_full", lr)
                 reg = self._estimate_self(raw4est)
             elif "pge" in pipe.est_type and "est_net" in self.est_models:
                 reg = self.est_models["est_net"](lr)
                 reg = (float(reg[0]), float(reg[1]) ** 2)
+            elif any(t in pipe.est_type for t in
+                     ("cal_est", "foi", "liu", "zou", "pge")):
+                reg = self._file_based_est(data, img_id, p)
             else:
                 raise NotImplementedError(
                     f"est_type {pipe.est_type!r} needs precomputed files "

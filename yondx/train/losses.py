@@ -68,6 +68,44 @@ def unet_loss(pred, target, charbonnier: bool = False,
     return fn(pred, target)
 
 
+def gan_loss(real_logits, fake_logits, kind: str = "RaSGAN",
+             for_discriminator: bool = True):
+    """Relativistic GAN loss family (reference GAN_Loss,
+    base_loss.py:141-188; unused by YOND training but part of the loss
+    surface): SGAN, RSGAN, RaSGAN, RaLSGAN."""
+    import jax.nn as jnn
+    eps = 1e-12
+
+    def bce_with_logits(logits, target):
+        return jnp.mean(jnp.maximum(logits, 0) - logits * target
+                        + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+    if kind == "SGAN":
+        if for_discriminator:
+            return bce_with_logits(real_logits, 1.0) + \
+                bce_with_logits(fake_logits, 0.0)
+        return bce_with_logits(fake_logits, 1.0)
+    if kind == "RSGAN":
+        d = real_logits - fake_logits if for_discriminator else \
+            fake_logits - real_logits
+        return bce_with_logits(d, 1.0)
+    ra_r = real_logits - jnp.mean(fake_logits)
+    ra_f = fake_logits - jnp.mean(real_logits)
+    if kind == "RaSGAN":
+        if for_discriminator:
+            return (bce_with_logits(ra_r, 1.0)
+                    + bce_with_logits(ra_f, 0.0)) / 2
+        return (bce_with_logits(ra_r, 0.0)
+                + bce_with_logits(ra_f, 1.0)) / 2
+    if kind == "RaLSGAN":
+        if for_discriminator:
+            return (jnp.mean((ra_r - 1.0) ** 2)
+                    + jnp.mean((ra_f + 1.0) ** 2)) / 2
+        return (jnp.mean((ra_r + 1.0) ** 2)
+                + jnp.mean((ra_f - 1.0) ** 2)) / 2
+    raise ValueError(kind)
+
+
 def psnr_loss(pred, target):
     """Per-sample-mean PSNR in dB (losses/__init__.py:3-14); inputs in
     [0,1]."""

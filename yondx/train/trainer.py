@@ -255,6 +255,29 @@ class AWGNTrainer:
                         jax.device_get(self.opt_state), epoch,
                         self.best_psnr)
 
+    def predict(self, raw_bayer, tile: int = 1024, halo: int = 64,
+                t: float = 0.0):
+        """Tiled full-frame inference with the trained net (reference
+        AWGN_Trainer.predict, trainer_AWGN.py:331-346): bayer [H, W] in
+        [0,1] -> denoised bayer via the overlap-tiled runner."""
+        from ..pipeline import SimpleDenoiser
+        from ..core.tiling import np_tile_overlap, tile_grid
+        den = SimpleDenoiser(self.model, self.params, guided=self.guided)
+        raw = np.asarray(raw_bayer, np.float32)
+        H, W = raw.shape
+        tiles, plan = np_tile_overlap(raw, tile, halo)
+        outs = []
+        for s in range(0, tiles.shape[0], 8):
+            outs.append(np.asarray(den(jnp.asarray(tiles[s:s + 8]), t)))
+        tiles = np.concatenate(outs, 0)
+        ny, nx, _, _ = tile_grid(H, W, tile, halo)
+        out = np.empty((ny * tile, nx * tile), np.float32)
+        for iy in range(ny):
+            for ix in range(nx):
+                out[iy * tile:(iy + 1) * tile, ix * tile:(ix + 1) * tile] = \
+                    tiles[iy * nx + ix, halo:halo + tile, halo:halo + tile]
+        return out[:H, :W]
+
     # -------------------------------------------------------------- eval
     def eval(self, epoch: int = -1, sigma: Optional[float] = None):
         from ..eval.metrics import matlab_ssim
