@@ -109,11 +109,37 @@ class YOND:
         log(f"Parameters:\t{n / 1e6:.2f}M", logfile=self.logfile,
             notime=True)
 
-        self.denoiser = VSTDenoiser(
-            self.model, self.params, guided=is_guided(self.arch),
-            bias_corr=self.pipe.bias_corr, vst_type=self.pipe.vst_type)
+        # noise-estimation nets from est_* config blocks (reference
+        # YOND_SIDD.py:188-196); each becomes a callable raw -> prediction
+        self.est_models = {}
+        for key, est in self.args.items():
+            if not key.startswith("est_") or not isinstance(est, dict):
+                continue
+            emodel, eparams = load_model_params(
+                est, est.get("weights", key), self.fast_ckpt,
+                input_shape=(1, 64, 64, est.get("in_nc", 4)))
+
+            def _apply(raw, _m=emodel, _p=eparams):
+                import jax.numpy as jnp
+                from ..isp import bayer2rggb
+                x = bayer2rggb(jnp.asarray(raw))
+                if x.ndim == 3:
+                    x = x[None]
+                return np.asarray(_m.apply(_p, x))
+
+            self.est_models[key] = _apply
+
+        if self.pipe.denoiser_type.lower() == "bm3d":
+            from ..pipeline import BM3DVSTDenoiser
+            self.denoiser = BM3DVSTDenoiser(bias_corr=self.pipe.bias_corr,
+                                            vst_type=self.pipe.vst_type)
+        else:
+            self.denoiser = VSTDenoiser(
+                self.model, self.params, guided=is_guided(self.arch),
+                bias_corr=self.pipe.bias_corr, vst_type=self.pipe.vst_type)
         self.engine = YONDEngine(self.denoiser, self.pipe,
                                  biaslut=BiasLUT(),
+                                 est_models=self.est_models,
                                  logfile=self.logfile)
 
     def _dataset(self, mode):
