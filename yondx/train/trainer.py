@@ -111,6 +111,12 @@ class AWGNTrainer:
     # ------------------------------------------------------------- steps
     def _make_train_step(self):
         model, guided = self.model, self.guided
+        # optional rematerialization: trade recompute for activation memory
+        # (hyper.remat: true) — lets batch/patch scale beyond HBM limits
+        if self.hyper.get("remat", False):
+            apply_fn = jax.checkpoint(
+                lambda p, *a: self.model.apply(p, *a))
+            model = type("RematModel", (), {"apply": staticmethod(apply_fn)})
         clip, bayeraug = self.clip, self.bayeraug
         smin, smax = self.sigma_min, self.sigma_max
         consistency = self.consistency
