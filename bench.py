@@ -33,6 +33,14 @@ def make_frame(H=3072, W=4096, seed=7):
 
 def main():
     import jax
+    # persistent compilation cache: repeated bench runs skip the 20-40 s
+    # tunnel compile
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/yondx_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from yondx.isp import bayer2rggb, rggb2bayer
     from yondx.models import build_model

@@ -1,0 +1,104 @@
+"""Synthetic SIDD-style blind-denoise eval: the data-free quality gate.
+
+Builds N scenes of 32x 256x256 Bayer crops (flat-patch content + calibrated
+Poisson-Gaussian noise at random (K, sigma) drawn from the IMX686-like
+prior), runs the full iterative engine with the trained SNR-Net, and
+reports per-iteration PSNR/SSIM — the stand-in for the SIDD 51.60 dB
+anchor while the real validation .mat files are unavailable.
+"""
+import argparse
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yondx.core.logging import log
+from yondx.eval.metrics import psnr, matlab_ssim
+from yondx.models import build_model
+from yondx.models.registry import init_params
+from yondx.pipeline import VSTDenoiser, YONDEngine, PipelineConfig
+from yondx.train.ckpt import find_checkpoint, load_checkpoint
+from yondx.vst.lut import BiasLUT
+from yondx.data.datasets import SyntheticSRGBDataset
+from yondx.data.unprocess import srgb_to_pseudo_raw
+from yondx.isp import rggb2bayer
+
+
+def make_scene(i, n_crops=8, wp=1023, bl=64, rng=None):
+    """n_crops clean bayer crops from unprocessed synthetic sRGB + PG
+    noise at a scene-level (K, sigma)."""
+    rng = rng or np.random.default_rng(1000 + i)
+    ds = SyntheticSRGBDataset(length=n_crops, size=512, seed=31 * i + 7)
+    imgs = np.stack([ds[j] for j in range(n_crops)]).astype(np.float32)
+    imgs = imgs / 255.0 if imgs.dtype == np.uint8 or imgs.max() > 1.5 \
+        else imgs
+    key = jax.random.PRNGKey(i)
+    rggb, _, _, _ = srgb_to_pseudo_raw(key, jnp.asarray(imgs),
+                                       bayer_aug_enabled=False)
+    clean = np.asarray(rggb2bayer(rggb))  # [n, 512, 512]
+    scale = wp - bl
+    # SIDD-like noise range: input PSNR roughly 22-34 dB
+    K = float(np.exp(rng.uniform(np.log(2.0), np.log(24.0))))
+    sigma = float(K * np.exp(rng.uniform(np.log(0.5), np.log(3.0))))
+    electrons = np.clip(clean, 0, 1) * scale / K
+    noisy = (K * rng.poisson(electrons) +
+             rng.normal(0, sigma, clean.shape)) / scale
+    return clean, np.clip(noisy, 0, 1).astype(np.float32), K, sigma
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", type=int, default=10)
+    ap.add_argument("--nf", type=int, default=32)
+    ap.add_argument("--model", default="Gaussian_GRU_mix_5to50_norm")
+    ap.add_argument("--ckpt-dir", default="checkpoints/Gaussian")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    arch = {"name": "GuidedResUnet", "guided": True, "in_nc": 4,
+            "out_nc": 4, "nf": args.nf, "nframes": 1, "res": True,
+            "norm": True}
+    model = build_model(arch, dtype=jnp.bfloat16 if args.bf16 else None)
+    params = init_params(model, jax.random.PRNGKey(0), (1, 128, 128, 4))
+    ck = find_checkpoint(args.ckpt_dir, args.model)
+    if ck:
+        params = load_checkpoint(ck, params)["params"]
+        log(f"loaded {ck}")
+    else:
+        log("WARNING: random weights")
+
+    den = VSTDenoiser(model, params, guided=True, bias_corr="pre",
+                      vst_type="exact")
+    eng = YONDEngine(den, PipelineConfig(est_type="simple", max_iter=1),
+                     biaslut=BiasLUT())
+
+    stats = {0: [], 1: []}
+    ssims = {0: [], 1: []}
+    noisy_psnr = []
+    for i in range(args.scenes):
+        clean, noisy, K, sigma = make_scene(i)
+        p = {"wp": 1023, "bl": 64, "ratio": 1, "scale": 959.0,
+             "gain": 1.0, "sigma": 0.0}
+        res = eng.iter_denoise({"lr": noisy}, p)
+        noisy_psnr.append(float(psnr(noisy, clean)))
+        for it, dn in enumerate(res["raw_dns"]):
+            stats[it].append(float(psnr(dn, clean)))
+            ssims[it].append(float(matlab_ssim(
+                jnp.asarray(dn) * 255, jnp.asarray(clean) * 255)))
+        K_est = res["regs"][0][0] * 959
+        log(f"scene {i}: K={K:.2f} est={K_est:.2f} "
+            f"noisy={noisy_psnr[-1]:.2f} "
+            + " ".join(f"iter{it}={stats[it][-1]:.2f}"
+                       for it in stats if stats[it]))
+    log(f"noisy PSNR: {np.mean(noisy_psnr):.2f}")
+    for it in stats:
+        if stats[it]:
+            log(f"Iter{it}: PSNR={np.mean(stats[it]):.2f}, "
+                f"SSIM={np.mean(ssims[it]):.4f}")
+
+
+if __name__ == "__main__":
+    main()
