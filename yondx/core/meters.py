@@ -4,17 +4,21 @@ from __future__ import annotations
 
 import os
 import pickle
+import threading
 from typing import Dict, List
 
 
 class AverageMeter:
-    """Running average with pkl-backed epoch history."""
+    """Running average with pkl-backed epoch history. Thread-safe update
+    (the eval harnesses feed meters from metric worker threads — the
+    reference does the same without locking, YOND_SIDD.py:653-656)."""
 
     def __init__(self, name: str = "", fmt: str = ":f", last_epoch: int = 0):
         self.name = name
         self.fmt = fmt
         self.history: List[float] = []
         self.last_epoch = last_epoch
+        self._lock = threading.Lock()
         self.reset()
 
     def reset(self):
@@ -24,10 +28,11 @@ class AverageMeter:
         self.count = 0
 
     def update(self, val: float, n: int = 1):
-        self.val = float(val)
-        self.sum += float(val) * n
-        self.count += n
-        self.avg = self.sum / max(self.count, 1)
+        with self._lock:
+            self.val = float(val)
+            self.sum += float(val) * n
+            self.count += n
+            self.avg = self.sum / max(self.count, 1)
 
     def plot_history(self, savefile: str | None = None, logfile: str | None = None):
         """Append current avg to history; persist to pkl; optional curve png."""

@@ -91,3 +91,15 @@ class SIDDEvalHarness:
         self.metrics.save()
         return {"psnr": [m.avg for m in self.psnrs],
                 "ssim": [m.avg for m in self.ssims]}
+
+    def write_submission(self, results: np.ndarray,
+                         out_dir: str = "submits") -> str:
+        """Write the SIDD benchmark SubmitRaw.mat (the reference keeps this
+        commented out, YOND_SIDD.py:542-549/620-627; key must be
+        'results'). results: [n_scenes, 32, 256, 256]."""
+        import scipy.io as sio
+        path = os.path.join(out_dir, self.method_name)
+        os.makedirs(path, exist_ok=True)
+        out = os.path.join(path, "SubmitRaw.mat")
+        sio.savemat(out, {"results": np.asarray(results, np.float32)})
+        return out

@@ -43,6 +43,8 @@ class PipelineConfig:
     max_iter: int = 1
     clip: bool = False
     data_type: str = "SIDD"
+    cal_est: Optional[str] = None
+    extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "PipelineConfig":
@@ -50,7 +52,9 @@ class PipelineConfig:
         if d.get("bias_corr") == "none":
             d["bias_corr"] = None
         fields = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in fields})
+        known = {k: v for k, v in d.items() if k in fields}
+        known["extras"] = {k: v for k, v in d.items() if k not in fields}
+        return cls(**known)
 
 
 class YONDEngine:
