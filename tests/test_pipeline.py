@@ -174,3 +174,24 @@ def test_matlab_ssim_matches_reference_impl():
     ref = ref_ssim(a, b)
     got = float(matlab_ssim(a, b))
     assert abs(got - ref) < 1e-4, (got, ref)
+
+
+def test_fbi_variant_runs():
+    """fbi denoiser path: min/max VST normalization + bayer-domain net."""
+    from yondx.models import build_model
+    from yondx.models.registry import init_params
+    import jax
+    arch = {"name": "FBI_Net", "nf": 8, "num_of_layers": 3, "mul": 1,
+            "channel": 1, "output_channel": 1, "case": "FBI_Net",
+            "output_type": "linear", "sigmoid_value": 0.1, "res": False,
+            "in_nc": 1, "out_nc": 1}
+    model = build_model(arch)
+    params = init_params(model, jax.random.PRNGKey(0), (1, 64, 64, 1),
+                        guided=False)
+    den = VSTDenoiser(model, params, guided=False, bias_corr=None,
+                      vst_type="asym", fbi=True)
+    x = np.random.rand(2, 64, 64).astype(np.float32)
+    out = np.asarray(den(jnp.asarray(x),
+                         np.zeros(len(FULL_X_GRID), np.float32),
+                         8.0, 10.0, 959.0))
+    assert out.shape == x.shape and np.isfinite(out).all()

@@ -38,13 +38,18 @@ class VSTDenoiser:
 
     def __init__(self, model, params, *, guided: bool = True,
                  bias_corr: Optional[str] = "pre", vst_type: str = "exact",
-                 pad_base: int = 32):
+                 pad_base: int = 32, fbi: bool = False):
+        """fbi=True selects the blind-spot-network variant (reference
+        YOND_SIDD.py:266-279): normalization by the VST output's own
+        min/max instead of [VST(0), VST(scale)], and the network consumes
+        the 1-channel bayer mosaic rather than packed RGGB planes."""
         self.model = model
         self.params = params
         self.guided = guided
         self.bias_corr = bias_corr
         self.vst_type = vst_type
         self.pad_base = pad_base
+        self.fbi = fbi
         self.sigma_corr = 1.03 if bias_corr == "pre" else 1.00
         self.exact_inverse = bias_corr is None and vst_type == "exact"
         self._jit = jax.jit(self._denoise)
@@ -67,11 +72,20 @@ class VSTDenoiser:
         if self.bias_corr == "pre":
             bias = lookup_bias_curve(jnp.maximum(x, 0.0), curve, K)
             z = z - bias
-        lower = vst(jnp.zeros(()), sigma, gain=K)
-        upper = vst(jnp.full((), 1.0) * scale, sigma, gain=K)
+        if self.fbi:
+            lower = jnp.min(z)
+            upper = jnp.max(z)
+        else:
+            lower = vst(jnp.zeros(()), sigma, gain=K)
+            upper = vst(jnp.full((), 1.0) * scale, sigma, gain=K)
         nsr = 1.0 / (upper - lower)
         z = (z - lower) * nsr
-        z = self._net(z, nsr)
+        if self.fbi:
+            bay = rggb2bayer(z)[..., None]        # [B, H, W, 1]
+            out = self.model.apply(self.params, jnp.clip(bay, 0.0, 1.0))
+            z = bayer2rggb(jnp.clip(out, 0.0, 1.0)[..., 0])
+        else:
+            z = self._net(z, nsr)
         z = z * (upper - lower) + lower
         x = inverse_vst(z, sigma, gain=K, exact=self.exact_inverse)
         return jnp.clip(x / scale, 0.0, 1.0)
