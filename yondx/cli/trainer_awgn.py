@@ -7,7 +7,7 @@ over dst_test.sigma_list with the best checkpoint.
 from __future__ import annotations
 
 import argparse
-import os
+
 
 import jax
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
+
 
 import numpy as np
 import jax
@@ -24,7 +24,7 @@ from ..config import load_runfile
 from ..core.logging import log
 from ..models import build_model, param_count
 from ..models.registry import init_params, is_guided
-from ..pipeline import VSTDenoiser, YONDEngine, PipelineConfig, TiledRunner
+from ..pipeline import VSTDenoiser, YONDEngine, PipelineConfig
 from ..train.ckpt import load_checkpoint, find_checkpoint
 from ..vst.lut import BiasLUT
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
-import numpy as np
+
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ Everything is per-sample vmapped and jit-safe; one PRNG key per sample.
 """
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ whole frame (optionally downsampled strips for 50 MP inputs).
 """
 from __future__ import annotations
 
-import os
+
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..core.logging import log
 from ..core.meters import AverageMeter, MetricsRecorder
 from ..data.augment import illuminance_correct
-from ..isp import bayer2rggb, rot_bayer
+from ..isp import rot_bayer
 from ..pipeline.runner import TiledRunner
 from .metrics import psnr, matlab_ssim
 

@@ -23,7 +23,7 @@ identical, and XLA turns it into two tiny matmuls instead of 1x1 convs.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

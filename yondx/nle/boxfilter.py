@@ -13,7 +13,7 @@ Layout: [..., H, W, C] (trailing channels) or [..., H, W].
 """
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -13,17 +13,17 @@ mesh used in tests.
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..nle.boxfilter import box_mean, stdfilt
-from ..nle.fit import masked_linefit, nonsat_weights
+# (fit helpers are inlined below for the psum variants)
 from ..vst import vst, inverse_vst, lookup_bias_curve
 
 

@@ -17,15 +17,15 @@ traced [2177] array, so one compilation serves every image and iteration.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Optional
+
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..isp import bayer2rggb, rggb2bayer
 from ..vst import vst, inverse_vst, lookup_bias_curve
-from ..vst.lut import FULL_X_GRID
+
 from ..core.tiling import pad_to_multiple, unpad
 
 

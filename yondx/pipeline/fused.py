@@ -20,7 +20,7 @@ This is the throughput path (bench.py) and the one-call "ANY camera" API.
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional
 
 import numpy as np

@@ -73,7 +73,7 @@ def gan_loss(real_logits, fake_logits, kind: str = "RaSGAN",
     """Relativistic GAN loss family (reference GAN_Loss,
     base_loss.py:141-188; unused by YOND training but part of the loss
     surface): SGAN, RSGAN, RaSGAN, RaLSGAN."""
-    import jax.nn as jnn
+
     eps = 1e-12
 
     def bce_with_logits(logits, target):

@@ -13,10 +13,10 @@ Two est-net flavours (SURVEY.md §2.6):
 """
 from __future__ import annotations
 
-import time
+
 from typing import Any, Dict, Optional
 
-import numpy as np
+
 import jax
 import jax.numpy as jnp
 import optax
