@@ -186,3 +186,39 @@ def test_algo_debugger_sweep(tmp_path):
     res = dbg.sweep({"k": [3, 5]}, out_dir=str(tmp_path / "sweep"))
     assert len(res) == 2
     assert all(v.shape == img.shape for v in res.values())
+
+
+def test_fullframe_harness_tiled(tmp_path):
+    """Tiled path of the full-frame harness (tile > 0)."""
+    from yondx.pipeline import VSTDenoiser, YONDEngine, PipelineConfig
+    from yondx.eval.fullframe import FullFrameHarness
+    from yondx.nle import box_mean
+
+    class _Blur:
+        def apply(self, p, x, t=None):
+            return box_mean(x, 5)
+
+    class _DS:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(4)
+            clean = np.kron(rng.random((2, 2)) * 0.5 + 0.2,
+                            np.ones((160, 160))).astype(np.float32)
+            noisy = np.clip(clean + rng.normal(0, 0.05, clean.shape),
+                            0, 1).astype(np.float32)
+            return {"name": "t1", "lr": noisy, "hr": clean,
+                    "wp": 1023, "bl": 64, "ratio": 1.0,
+                    "cfa": [[1, 2], [2, 3]]}
+
+    den = VSTDenoiser(_Blur(), None, guided=False, bias_corr="pre")
+    eng = YONDEngine(den, PipelineConfig(est_type="simple", max_iter=1))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        h = FullFrameHarness(eng, _DS(), "ff_tiled", tile=128, halo=32)
+        res = h.run()
+    finally:
+        os.chdir(cwd)
+    assert res["psnr"] > 20

@@ -247,6 +247,13 @@ class AWGNTrainer:
                 self._save("last", epoch)
                 self._save(f"e{epoch // pf * pf:04d}", epoch,
                            directory=self.model_dir)
+                # psnr-history curve + pkl (reference trainer_AWGN.py:167-169)
+                os.makedirs(self.sample_dir, exist_ok=True)
+                self.train_psnr.plot_history(
+                    savefile=os.path.join(
+                        self.sample_dir, f"{self.model_name}_train_psnr.jpg"),
+                    logfile=os.path.join(
+                        self.sample_dir, f"{self.model_name}_train_psnr.pkl"))
             if epoch % pf == 0:
                 self.eval(epoch=epoch)
 
