@@ -94,3 +94,20 @@ def test_pg_est_trainer_smoke(tmp_path):
     loss = tr.train(epochs=1, steps_per_epoch=2)
     assert np.isfinite(loss)
     assert os.path.exists(tmp_path / "est_tiny_last_model.ckpt")
+
+
+def test_dnd_dataset_layout(tmp_path):
+    """DND reader on a synthetic official-layout bundle (HDF5 v7.3-style)."""
+    import h5py
+    from yondx.data.eval_datasets import DNDDataset
+    img_dir = tmp_path / "images_raw"
+    img_dir.mkdir()
+    noisy = np.random.rand(64, 48).astype(np.float32)
+    with h5py.File(img_dir / "0001.mat", "w") as f:
+        f.create_dataset("Inoisy", data=noisy.T)
+    ds = DNDDataset(str(tmp_path))
+    item = ds[0]
+    np.testing.assert_allclose(item["lr"], noisy)
+    assert item["name"] == "0001"
+    with pytest.raises(FileNotFoundError):
+        DNDDataset(str(tmp_path / "missing"))

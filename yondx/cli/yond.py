@@ -152,6 +152,9 @@ class YOND:
         if name == "LRID_Dataset":
             from ..data.eval_datasets import LRIDDataset
             return LRIDDataset(root, subset=dst.get("subset", "indoor"))
+        if name == "DND_Dataset":
+            from ..data.eval_datasets import DNDDataset
+            return DNDDataset(root)
         if name in ("ELD_Full_Dataset", "ELD_Dataset"):
             from ..data.eval_datasets import ELDDataset
             return ELDDataset(root,

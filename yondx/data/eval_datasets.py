@@ -130,6 +130,44 @@ class ELDDataset:
                 "ratio": 1.0, "cfa": [[1, 2], [2, 3]]}
 
 
+class DNDDataset:
+    """DND raw benchmark layout (the official dnd_2017 release):
+    {root}/images_raw/{0001..0050}.mat (key 'Inoisy', HDF5 v7.3) +
+    {root}/info.mat with per-image bounding boxes and camera metadata.
+    No ground truth (server-scored benchmark); items carry the 20 crop
+    boxes so a harness can produce the submission blocks.
+    """
+
+    def __init__(self, root_dir: str):
+        import h5py
+        self.root = root_dir
+        img_dir = os.path.join(root_dir, "images_raw")
+        self.paths = sorted(glob.glob(os.path.join(img_dir, "*.mat")))
+        if not self.paths:
+            raise FileNotFoundError(f"no DND images under {img_dir}")
+        self.boxes = None
+        info_path = os.path.join(root_dir, "info.mat")
+        if os.path.exists(info_path):
+            with h5py.File(info_path, "r") as f:
+                info = f["info"]
+                self.boxes = [np.array(f[ref]).T
+                              for ref in info["boundingboxes"][0]]
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> dict:
+        import h5py
+        with h5py.File(self.paths[idx], "r") as f:
+            noisy = np.array(f["Inoisy"]).T.astype(np.float32)
+        data = {"name": os.path.basename(self.paths[idx])[:-4],
+                "lr": noisy, "wp": 1, "bl": 0, "ratio": 1.0,
+                "cfa": [[1, 2], [2, 3]]}
+        if self.boxes is not None:
+            data["boxes"] = self.boxes[idx]
+        return data
+
+
 class MultiDataset:
     """Concatenation wrapper (reference MultiDataset,
     data_process/__init__.py:5-40)."""
