@@ -76,7 +76,9 @@ class AWGNTrainer:
         self.best_psnr = float(self.hyper.get("best_psnr", 0.0))
         self.epoch = self.hyper.get("last_epoch", 0)
 
-        # resume (reference trainer_AWGN.py:21-30)
+        # resume (reference trainer_AWGN.py:21-30); last_epoch == -1 means
+        # "auto": continue from whatever epoch the checkpoint carries (used
+        # by the chunked trainer that bounds process lifetime)
         if self.epoch:
             path = find_checkpoint(self.fast_ckpt, self.model_name)
             if path:
@@ -85,9 +87,13 @@ class AWGNTrainer:
                 if state.get("opt_state"):
                     self.opt_state = state["opt_state"]
                 self.best_psnr = state.get("best_psnr", self.best_psnr)
+                if self.epoch == -1:
+                    self.epoch = int(state.get("epoch", 0))
                 log(f"Resumed from {path} @ epoch {state.get('epoch')}",
                     logfile=self.logfile)
             else:
+                if self.epoch == -1:
+                    self.epoch = 0
                 log("No checkpoint file!!!", logfile=self.logfile)
 
         self.params = replicate(self.mesh, self.params)
@@ -229,12 +235,22 @@ class AWGNTrainer:
                     self.params, self.opt_state, sub, b,
                     jnp.float32(lr_value), ema_params, use_cons)
                 m = float(m)
+                # the tunneled device client retains host staging buffers;
+                # free the batch explicitly (observed ~10 MB/step host leak
+                # -> OOM after ~12k steps without this)
+                try:
+                    b.delete()
+                except Exception:
+                    pass
                 runtime["net"] += timestamp(tp, 2)
                 self.train_psnr.update(m)
                 n_steps += 1
                 tp[0] = time.time()
                 if steps_per_epoch and n_steps >= steps_per_epoch:
                     break
+            del ema_params
+            import gc
+            gc.collect()
             runtime["total"] = runtime["dataloader"] + runtime["net"]
             log(f"Epoch {epoch}: lr={lr_value:.2e} "
                 f"PSNR={self.train_psnr.avg:.2f} "
