@@ -150,3 +150,39 @@ def test_batchloader():
     # deterministic per (seed, epoch)
     again = list(bl.epoch(0))
     np.testing.assert_array_equal(batches[0], again[0])
+
+
+def test_auto_resume_from_checkpoint(tmp_path):
+    """hyper.last_epoch == -1 resumes at the checkpointed epoch (the
+    chunked-training contract)."""
+    from yondx.train import AWGNTrainer
+    from yondx.parallel import make_mesh
+    args = {
+        "model_name": "resume_tiny",
+        "fast_ckpt": str(tmp_path / "ckpt"),
+        "checkpoint": str(tmp_path / "saved"),
+        "result_dir": str(tmp_path / "img"),
+        "arch": {"name": "UNetSeeInDark", "in_nc": 4, "out_nc": 4,
+                 "nf": 4, "nframes": 1, "res": True, "norm": False},
+        "hyper": {"lr_scheduler": "WarmupCosine", "learning_rate": 1e-3,
+                  "batch_size": 4, "last_epoch": 0, "step_size": 1,
+                  "stop_epoch": 8, "T": 1, "save_freq": 1,
+                  "plot_freq": 100},
+        "dst_train": {"patch_size": 64, "sigma_min": 5, "sigma_max": 50,
+                      "clip": True, "command": "", "synthetic_len": 8,
+                      "mode": "train"},
+        "dst_eval": {"patch_size": 64, "sigma_list": [10, 25, 50],
+                     "clip": True, "command": "", "synthetic_len": 4,
+                     "mode": "eval"},
+    }
+    mesh = make_mesh(4)
+    tr = AWGNTrainer(args, mesh=mesh)
+    tr.train(stop_epoch=2, steps_per_epoch=1)
+    assert tr.epoch == 2
+
+    args2 = dict(args)
+    args2["hyper"] = dict(args["hyper"], last_epoch=-1)
+    tr2 = AWGNTrainer(args2, mesh=mesh)
+    assert tr2.epoch == 2          # resumed from the rolling checkpoint
+    tr2.train(stop_epoch=3, steps_per_epoch=1)
+    assert tr2.epoch == 3
