@@ -59,18 +59,39 @@ class SyntheticSRGBDataset:
     memoized (cheap RAM, keeps the host off the training hot path)."""
 
     def __init__(self, length: int = 1024, size: int = 256, seed: int = 1997,
-                 cache: bool = True):
+                 cache: bool = True, disk_cache: str = "/tmp/yondx_synth"):
         self.length = length
         self.size = size
         self.seed = seed
         self._cache = {} if cache else None
+        self._disk = None
+        if cache and disk_cache:
+            os.makedirs(disk_cache, exist_ok=True)
+            path = os.path.join(disk_cache,
+                                f"s{seed}_p{size}_n{length}.npy")
+            if os.path.exists(path):
+                try:
+                    self._disk = np.load(path, mmap_mode="r")
+                except Exception:
+                    self._disk = None
+            else:
+                arr = np.stack([self._generate(i) for i in range(length)])
+                tmp = path + f".tmp{os.getpid()}"
+                np.save(tmp, arr)
+                os.replace(tmp, path)
+                self._disk = arr
 
     def __len__(self):
         return self.length
 
     def __getitem__(self, idx: int) -> np.ndarray:
+        if self._disk is not None:
+            return np.asarray(self._disk[idx])
         if self._cache is not None and idx in self._cache:
             return self._cache[idx]
+        return self._generate(idx)
+
+    def _generate(self, idx: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 100003 + idx)
         S = self.size
         img = np.zeros((S, S, 3), np.float32)
@@ -110,6 +131,8 @@ class SyntheticSRGBDataset:
         if self._cache is not None:
             self._cache[idx] = img
         return img
+
+    # keep the class import-light: _bilinear_resize lives at module scope
 
 
 def _bilinear_resize(g: np.ndarray, S: int) -> np.ndarray:

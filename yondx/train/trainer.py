@@ -42,6 +42,15 @@ from .ckpt import save_checkpoint, load_checkpoint, find_checkpoint
 class AWGNTrainer:
     def __init__(self, args: Dict[str, Any], mesh=None, dtype=None):
         """args: the parsed YAML runfile dict (dst*/arch/hyper blocks)."""
+        # persistent XLA compile cache: chunked/resumed runs skip the
+        # 20-40s train-step compile
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/yondx_xla_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception:
+            pass
         self.args = args
         self.arch = args["arch"]
         self.hyper = args["hyper"]
