@@ -76,7 +76,7 @@ class SyntheticSRGBDataset:
                     self._disk = None
             else:
                 arr = np.stack([self._generate(i) for i in range(length)])
-                tmp = path + f".tmp{os.getpid()}"
+                tmp = path.replace(".npy", f".tmp{os.getpid()}.npy")
                 np.save(tmp, arr)
                 os.replace(tmp, path)
                 self._disk = arr
