@@ -42,7 +42,9 @@ def get_multistep_lr(step: int, period: int = 1000, lr: float = 1e-4,
 def lr_lambda_from_hyper(hyper: Dict) -> Callable[[int], float]:
     """Build the epoch->lr function from the YAML hyper block (reference
     get_lr_lambda_func, trainer_base.py:34-46)."""
-    num_epochs = hyper["stop_epoch"] - hyper["last_epoch"]
+    # last_epoch == -1 means auto-resume; the schedule period is the full
+    # run in that case
+    num_epochs = hyper["stop_epoch"] - max(hyper.get("last_epoch", 0), 0)
     step_size = hyper.get("step_size", 20)
     T = hyper.get("T", 1)
     coldstart = hyper.get("coldstart", True)
