@@ -19,6 +19,12 @@ from .noise import (
 from .datasets import (
     SyntheticSRGBDataset, NpyFolderDataset, SIDDValDataset, BatchLoader,
 )
+from .eval_datasets import LRIDDataset, ELDDataset, DNDDataset, MultiDataset
+from .augment import (
+    get_aug_param, sna, illuminance_correct, HighBitRecovery,
+)
+from .pg_dataset import pg_training_batch, pg_est_features
+from .raw_dataset import SIDRawDataset, raw_awgn_batch
 
 __all__ = [
     "random_ccm", "random_gains", "unprocess_batch", "mosaic",
@@ -28,4 +34,8 @@ __all__ = [
     "generate_noisy",
     "SyntheticSRGBDataset", "NpyFolderDataset", "SIDDValDataset",
     "BatchLoader",
+    "LRIDDataset", "ELDDataset", "DNDDataset", "MultiDataset",
+    "get_aug_param", "sna", "illuminance_correct", "HighBitRecovery",
+    "pg_training_batch", "pg_est_features",
+    "SIDRawDataset", "raw_awgn_batch",
 ]

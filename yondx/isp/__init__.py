@@ -11,10 +11,22 @@ from .bayer import (
 )
 from .render import fast_isp, simple_isp, process_rggb, process_sidd_image
 from .metadata import read_sidd_metadata
+from .filters import (
+    guided_filter, fast_guided_filter, bilateral_1d, row_denoise,
+    blur1d_log,
+)
+from .raw_io import (
+    pack_raw, unpack_raw, raw2bayer, bayer2raw, repair_bad_pixels,
+    space_to_depth, depth_to_space,
+)
 
 __all__ = [
     "bayer2rggb", "rggb2bayer", "bayer_aug", "rot_bayer_k", "rot_bayer",
     "flip_bayer", "bayer2rows", "rows2bayer", "bayer2gray",
     "fast_isp", "simple_isp", "process_rggb", "process_sidd_image",
     "read_sidd_metadata",
+    "guided_filter", "fast_guided_filter", "bilateral_1d", "row_denoise",
+    "blur1d_log",
+    "pack_raw", "unpack_raw", "raw2bayer", "bayer2raw",
+    "repair_bad_pixels", "space_to_depth", "depth_to_space",
 ]
