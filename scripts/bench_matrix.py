@@ -55,10 +55,12 @@ def main():
     results = {}
     for tag, dtype in (("fp32", None), ("bf16", jnp.bfloat16)):
         model, params = load(dtype)
-        for nle_tag, use_pallas in (("xla", False), ("pallas", True)):
+        for nle_tag, use_pallas, th in (
+                ("xla-sort", False, "sort"), ("xla-hist", False, "hist"),
+                ("pallas-hist", True, "hist")):
             fused = make_fused_blind_denoiser(
                 model, params, lut.lut, guided=True, max_iter=1,
-                use_pallas_nle=use_pallas)
+                use_pallas_nle=use_pallas, th_impl=th)
             try:
                 dt, (dn, regs) = timeit(
                     lambda r: fused(r, jnp.float32(959.0)), rggb[None])

@@ -74,3 +74,22 @@ def test_fused_single_dispatch_and_improves_psnr():
     from yondx.isp import rggb2bayer
     out = np.asarray(rggb2bayer(dn))
     assert float(psnr(out, clean)) > float(psnr(noisy, clean)) + 3.0
+
+
+def test_hist_threshold_close_to_sort():
+    """Histogram percentiles track exact percentiles to bin width, and the
+    resulting NLE params agree closely."""
+    rng = np.random.default_rng(9)
+    clean, noisy = _scene(rng)
+    lut = BiasLUT()
+    f_sort = make_fused_blind_denoiser(_BlurModel(), None, lut.lut,
+                                       guided=False, max_iter=0,
+                                       th_impl="sort")
+    f_hist = make_fused_blind_denoiser(_BlurModel(), None, lut.lut,
+                                       guided=False, max_iter=0,
+                                       th_impl="hist")
+    rggb = bayer2rggb(jnp.asarray(noisy))
+    _, r_sort = f_sort(rggb, jnp.float32(959.0))
+    _, r_hist = f_hist(rggb, jnp.float32(959.0))
+    np.testing.assert_allclose(np.asarray(r_hist), np.asarray(r_sort),
+                               rtol=0.05, atol=1e-6)

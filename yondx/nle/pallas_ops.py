@@ -46,65 +46,68 @@ def _blur_valid(x, k):
 
 def _moments_kernel(k, inner, band, x_hbm, mean_ref, var_ref, tex_ref,
                     scratch, sem):
-    """Grid step i: DMA rows [i*band, i*band + band + 2P) from HBM,
-    compute the three maps for the central `band` rows."""
+    """Grid step (c, i): DMA rows [i*band, i*band + band + 2P) of plane c
+    from HBM, compute the three maps for the central `band` rows."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     P = k // 2 + inner // 2
     off = inner // 2
-    i = pl.program_id(0)
+    c = pl.program_id(0)
+    i = pl.program_id(1)
     copy = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * band, band + 2 * P), :], scratch, sem)
+        x_hbm.at[c, pl.ds(i * band, band + 2 * P), :], scratch, sem)
     copy.start()
     copy.wait()
     x = scratch[:]                   # [band + 2P, WP + 2P]
-    WP = mean_ref.shape[1]
+    WP = mean_ref.shape[2]
     TH = band
 
     m = _blur_valid(x, k)            # [band + 2*off, WP + 2*off]
     m2 = _blur_valid(x * x, k)
     mc = m[off:off + TH, off:off + WP]
     m2c = m2[off:off + TH, off:off + WP]
-    mean_ref[:] = mc
-    var_ref[:] = jnp.maximum(m2c - mc * mc, 0.0)
+    mean_ref[0] = mc
+    var_ref[0] = jnp.maximum(m2c - mc * mc, 0.0)
 
     t1 = _blur_valid(x, inner)       # [band + k - 1, WP + k - 1]
     tm = _blur_valid(t1, k)          # [band, WP]
     tm2 = _blur_valid(t1 * t1, k)
-    tex_ref[:] = jnp.sqrt(jnp.maximum(tm2 - tm * tm, 0.0))
+    tex_ref[0] = jnp.sqrt(jnp.maximum(tm2 - tm * tm, 0.0))
 
 
-def _pallas_moments_plane(x, k: int, inner: int, band: int = 128,
-                          interpret: bool = False):
-    """x: [H, W] fp32 plane -> (mean, var, tex) maps, reflect-101 borders."""
+def _pallas_moments_planes(x, k: int, inner: int, band: int = 128,
+                           interpret: bool = False):
+    """x: [C, H, W] fp32 planes -> (mean, var, tex) maps [C, H, W],
+    reflect-101 borders. One pallas_call; grid = (C, row bands); the full
+    padded array stays in HBM (ANY) and each step DMAs its halo'd band."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    H, W = x.shape
+    C, H, W = x.shape
     P = k // 2 + inner // 2
     nb = -(-H // band)
     Hp = nb * band
     WP = -(-W // 128) * 128
     pad_h = (P, P + Hp - H)
     pad_w = (P, P + WP - W)
-    xp = jnp.pad(x, (pad_h, pad_w), mode="reflect")
+    xp = jnp.pad(x, ((0, 0), pad_h, pad_w), mode="reflect")
 
     kern = functools.partial(_moments_kernel, k, inner, band)
     mean, var, tex = pl.pallas_call(
         kern,
-        grid=(nb,),
+        grid=(C, nb),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[pl.BlockSpec((band, WP), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((1, band, WP), lambda c, i: (c, i, 0),
                                 memory_space=pltpu.VMEM)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((Hp, WP), jnp.float32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((C, Hp, WP), jnp.float32)] * 3,
         scratch_shapes=[
             pltpu.VMEM((band + 2 * P, WP + 2 * P), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xp)
-    return mean[:H, :W], var[:H, :W], tex[:H, :W]
+    return mean[:, :H, :W], var[:, :H, :W], tex[:, :H, :W]
 
 
 def fused_moments(rggb, k: int = 29, interpret: bool | None = None,
@@ -126,9 +129,8 @@ def fused_moments(rggb, k: int = 29, interpret: bool | None = None,
     h, w, c = x.shape[-3:]
     planes = jnp.moveaxis(x.reshape((-1, h, w, c)), -1, 1).reshape(-1, h, w)
 
-    fn = functools.partial(_pallas_moments_plane, k=k, inner=inner,
-                           band=band, interpret=bool(interpret))
-    mean, var, tex = jax.vmap(fn)(planes)
+    mean, var, tex = _pallas_moments_planes(
+        planes, k=k, inner=inner, band=band, interpret=bool(interpret))
 
     def unpack(t):
         t = t.reshape((-1, c, h, w))

@@ -40,16 +40,42 @@ def adaptive_threshold_score2(texture, step: int = 1):
     return ths[i], quants[i]
 
 
-def adaptive_threshold_score3(texture, mean, step: int = 5):
+NBINS_HIST = 8192
+
+
+def _hist_percentiles(data, quants):
+    """Histogram-approximated percentiles (accurate to max(data)/NBINS_HIST)
+    — O(N) instead of a full sort; the fast path for multi-megapixel NLE
+    (threshold selection only needs bin-level precision)."""
+    import jax
+    t_max = jnp.max(data) + 1e-12
+    edges = jnp.linspace(0.0, 1.0, NBINS_HIST + 1)[1:] * t_max
+    bins = jnp.clip((data / t_max * NBINS_HIST).astype(jnp.int32), 0,
+                    NBINS_HIST - 1)
+    counts = jax.ops.segment_sum(jnp.ones_like(data), bins,
+                                 num_segments=NBINS_HIST)
+    cdf = jnp.cumsum(counts)
+    ranks = quants / 100.0 * cdf[-1]
+    idxs = jnp.argmax(cdf[None, :] >= ranks[:, None], axis=1)
+    return edges[idxs]
+
+
+def adaptive_threshold_score3(texture, mean, step: int = 5,
+                              impl: str = "sort"):
     """Returns (th, quant_percent) — jit-safe.
 
     texture, mean: same-shape arrays (any rank; flattened internally).
+    impl: 'sort' = exact percentiles (reference parity); 'hist' = O(N)
+    histogram percentiles (bin-accurate; the throughput path).
     """
     data = texture.reshape(-1)
     m = mean.reshape(-1)
     n_q = 100 // step
     quants = jnp.linspace(step, 100, n_q, endpoint=True)
-    ths = jnp.percentile(data, quants, method="linear")
+    if impl == "hist":
+        ths = _hist_percentiles(data, quants)
+    else:
+        ths = jnp.percentile(data, quants, method="linear")
 
     # .astype(int) truncation on clip(0,1)*1000 -> buckets 0..1000
     buckets = jnp.clip(m, 0.0, 1.0) * NBINS

@@ -64,10 +64,16 @@ def device_bias_curve(lut, K, sigma):
     return jnp.concatenate([base, ext]).astype(jnp.float32)
 
 
-def _nlf_core(var, mean, texture, step: int):
-    th, _ = adaptive_threshold_score3(texture, mean, step=step)
+def _nlf_core(var, mean, texture, step: int, th_impl: str = "sort"):
+    th, _ = adaptive_threshold_score3(texture, mean, step=step,
+                                      impl=th_impl)
     mask = (texture < th).astype(jnp.float32)
-    th25 = jnp.percentile(texture.reshape(-1), 25.0, method="linear")
+    if th_impl == "hist":
+        from ..nle.threshold import _hist_percentiles
+        th25 = _hist_percentiles(texture.reshape(-1),
+                                 jnp.asarray([25.0]))[0]
+    else:
+        th25 = jnp.percentile(texture.reshape(-1), 25.0, method="linear")
     mask = jnp.where(jnp.sum(mask) == 0,
                      (texture < th25).astype(jnp.float32), mask)
     mask = jnp.where(jnp.sum(mask) == 0, jnp.ones_like(mask), mask)
@@ -81,7 +87,8 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
                               sigma_corr: float = 1.03,
                               max_iter: int = 1, pad_base: int = 32,
                               compute_dtype=None,
-                              use_pallas_nle: bool = False):
+                              use_pallas_nle: bool = False,
+                              th_impl: str = "sort"):
     """Build jit fn(rggb [B,h,w,4], scale) -> (dn [B,h,w,4], regs [2,2]).
 
     `lut` is captured as a device constant (8.5 MB, lives in HBM).
@@ -123,26 +130,26 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
 
         def self_est(x):
             mean, var, tex = fused_moments(x, k=k)
-            return _nlf_core(var, mean, tex, step)
+            return _nlf_core(var, mean, tex, step, th_impl)
 
         def collab_est(lr, dn):
             _, var_lr, _ = fused_moments(lr, k=k)
             mean_dn, var_dn, _ = fused_moments(dn, k=k)
             return _nlf_core(var_lr - var_dn, mean_dn,
-                             jnp.sqrt(var_dn), step)
+                             jnp.sqrt(var_dn), step, th_impl)
     else:
         def self_est(x):
             std_k = stdfilt(x, k)
             mean = box_mean(x, k)
             tex = stdfilt(box_mean(x, k // 3 * 2 + 1), k)
-            return _nlf_core(std_k * std_k, mean, tex, step)
+            return _nlf_core(std_k * std_k, mean, tex, step, th_impl)
 
         def collab_est(lr, dn):
             lr_k = stdfilt(lr, k)
             dn_k = stdfilt(dn, k)
             var = lr_k * lr_k - dn_k * dn_k
             mean = box_mean(dn, k)
-            return _nlf_core(var, mean, dn_k, step)
+            return _nlf_core(var, mean, dn_k, step, th_impl)
 
     @jax.jit
     def fused(rggb, scale):
