@@ -24,14 +24,37 @@ from yondx.data.unprocess import srgb_to_pseudo_raw
 from yondx.isp import rggb2bayer
 
 
-def make_scene(i, n_crops=8, wp=1023, bl=64, rng=None):
-    """n_crops clean bayer crops from unprocessed synthetic sRGB + PG
-    noise at a scene-level (K, sigma)."""
+def make_scene(i, n_crops=8, wp=1023, bl=64, rng=None, content="flat"):
+    """n_crops clean bayer crops + PG noise at a scene-level (K, sigma).
+
+    content='flat': SIDD-like scenes dominated by flat regions (the regime
+    YOND's patch-statistics NLE is built for — reference SIDD scenes are
+    indoor charts/objects with large uniform areas).
+    content='texture': procedural multi-octave scenes with gradient energy
+    at every scale — deliberately adversarial for the flat-region fit; K
+    over-estimates there (content leaks into the variance), matching the
+    reference's behavior on texture-only content.
+    """
     rng = rng or np.random.default_rng(1000 + i)
-    ds = SyntheticSRGBDataset(length=n_crops, size=512, seed=31 * i + 7)
-    imgs = np.stack([ds[j] for j in range(n_crops)]).astype(np.float32)
-    imgs = imgs / 255.0 if imgs.dtype == np.uint8 or imgs.max() > 1.5 \
-        else imgs
+    if content == "flat":
+        S = 512
+        imgs = np.zeros((n_crops, S, S, 3), np.float32)
+        for n in range(n_crops):
+            img = np.ones((S, S, 3), np.float32) * rng.random(3)
+            for _ in range(rng.integers(6, 14)):  # big flat patches
+                y0, x0 = rng.integers(0, S - 32, 2)
+                h, w = rng.integers(S // 8, S // 2, 2)
+                img[y0:y0 + h, x0:x0 + w] = rng.random(3)
+            if rng.random() < 0.5:                # one textured region
+                y0, x0 = rng.integers(0, S // 2, 2)
+                t = int(rng.integers(S // 8, S // 4))
+                img[y0:y0 + t, x0:x0 + t] *= rng.random((t, t, 1)) * 0.5 + 0.5
+            imgs[n] = np.clip(img * (0.4 + rng.random() * 0.6), 0, 1)
+    else:
+        ds = SyntheticSRGBDataset(length=n_crops, size=512, seed=31 * i + 7)
+        imgs = np.stack([ds[j] for j in range(n_crops)]).astype(np.float32)
+        if imgs.max() > 1.5:
+            imgs = imgs / 255.0
     key = jax.random.PRNGKey(i)
     rggb, _, _, _ = srgb_to_pseudo_raw(key, jnp.asarray(imgs),
                                        bayer_aug_enabled=False)
@@ -54,6 +77,8 @@ def main():
     ap.add_argument("--ckpt-dir", default="checkpoints/Gaussian")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--content", default="flat",
+                    choices=["flat", "texture"])
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -79,7 +104,7 @@ def main():
     ssims = {0: [], 1: []}
     noisy_psnr = []
     for i in range(args.scenes):
-        clean, noisy, K, sigma = make_scene(i)
+        clean, noisy, K, sigma = make_scene(i, content=args.content)
         p = {"wp": 1023, "bl": 64, "ratio": 1, "scale": 959.0,
              "gain": 1.0, "sigma": 0.0}
         res = eng.iter_denoise({"lr": noisy}, p)

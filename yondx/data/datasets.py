@@ -67,8 +67,9 @@ class SyntheticSRGBDataset:
         self._disk = None
         if cache and disk_cache:
             os.makedirs(disk_cache, exist_ok=True)
+            # v2: saturation-rich generator (cache key versioned)
             path = os.path.join(disk_cache,
-                                f"s{seed}_p{size}_n{length}.npy")
+                                f"v2_s{seed}_p{size}_n{length}.npy")
             if os.path.exists(path):
                 try:
                     self._disk = np.load(path, mmap_mode="r")
@@ -124,9 +125,18 @@ class SyntheticSRGBDataset:
             a, b = rng.normal(size=2)
             mask = (a * (yy - S / 2) + b * (xx - S / 2)) > 0
             img[mask] = img[mask] * rng.random() + rng.random(3) * 0.3
-        # global brightness jitter, clip; stored as uint8 (4x less host ->
-        # device transfer; the train step converts on device)
-        img = np.clip(img * (0.4 + rng.random()), 0.0, 1.0)
+        # saturated highlights: real unprocessed raw keeps blown regions at
+        # the white point (safe_invert_gains' highlight mask,
+        # unprocess.py:115-121) — the denoiser must learn to preserve them
+        if rng.random() < 0.6:
+            for _ in range(rng.integers(1, 4)):
+                y0, x0 = rng.integers(0, S - 8, 2)
+                h, w = rng.integers(S // 16, S // 3, 2)
+                img[y0:y0 + h, x0:x0 + w] = 1.0
+        # global brightness jitter (occasionally pushing into clipping),
+        # stored as uint8 (4x less host -> device transfer)
+        img = np.clip(img * (0.4 + rng.random() * (1.2 if rng.random() < 0.3
+                                                   else 1.0)), 0.0, 1.0)
         img = (img * 255.0 + 0.5).astype(np.uint8)
         if self._cache is not None:
             self._cache[idx] = img
