@@ -47,9 +47,14 @@ def load_checkpoint(path: str, params_template: Any = None,
     return state
 
 
-def find_checkpoint(fast_ckpt: str, model_name: str) -> Optional[str]:
-    """Search order best -> last -> bare (reference YOND_SIDD.py:178-183)."""
-    for suffix in ("_best_model", "_last_model", ""):
+def find_checkpoint(fast_ckpt: str, model_name: str,
+                    prefer: str = "best") -> Optional[str]:
+    """Search order best -> last -> bare for inference (reference
+    YOND_SIDD.py:178-183); prefer='last' for training resume (resuming
+    from 'best' would rewind a run whose eval metric has plateaued)."""
+    order = ("_best_model", "_last_model", "") if prefer == "best" \
+        else ("_last_model", "_best_model", "")
+    for suffix in order:
         p = os.path.join(fast_ckpt, f"{model_name}{suffix}.ckpt")
         if os.path.exists(p):
             return p

@@ -89,7 +89,8 @@ class AWGNTrainer:
         # "auto": continue from whatever epoch the checkpoint carries (used
         # by the chunked trainer that bounds process lifetime)
         if self.epoch:
-            path = find_checkpoint(self.fast_ckpt, self.model_name)
+            path = find_checkpoint(self.fast_ckpt, self.model_name,
+                                   prefer="last")
             if path:
                 state = load_checkpoint(path, self.params, self.opt_state)
                 self.params = state["params"]
