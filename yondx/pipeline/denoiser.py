@@ -73,7 +73,6 @@ class VSTDenoiser:
         if self.bias_corr == "pre":
             coeffs = cheb_fit_curve(curve)
             z = z - lookup_bias_curve_cheb(jnp.maximum(x, 0.0), coeffs, K)
-            z = z
         if self.fbi:
             lower = jnp.min(z)
             upper = jnp.max(z)
