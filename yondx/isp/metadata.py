@@ -1,7 +1,43 @@
-"""SIDD .MAT metadata parsing (reference utils/sidd_utils.py:3-73)."""
+"""SIDD .MAT metadata parsing (reference utils/sidd_utils.py:3-73) and
+gated camera-file metadata readers (reference utils/isp_ops.py:3-54)."""
 from __future__ import annotations
 
 import numpy as np
+
+
+def read_wb_ccm(path: str):
+    """White balance + CCM from a camera raw via rawpy (reference
+    read_wb_ccm, isp_ops.py:3-18). Gated: rawpy is not in this image."""
+    try:
+        import rawpy
+    except ImportError as e:
+        raise ImportError("read_wb_ccm needs rawpy/LibRaw (not available "
+                          "in this environment)") from e
+    with rawpy.imread(path) as raw:
+        wb = np.array(raw.camera_whitebalance, np.float32)
+        wb = wb / wb[1]
+        ccm = np.array(raw.color_matrix[:3, :3], np.float32)
+        return wb, ccm
+
+
+def get_iso_exposure(path: str):
+    """EXIF ISO + exposure time (reference get_ISO_ExposureTime/metainfo,
+    isp_ops.py:20-54). Gated: exifread is not in this image."""
+    try:
+        import exifread
+    except ImportError as e:
+        raise ImportError("get_iso_exposure needs exifread (not available "
+                          "in this environment)") from e
+    with open(path, "rb") as f:
+        tags = exifread.process_file(f)
+    iso = int(str(tags.get("EXIF ISOSpeedRatings", 0)))
+    expo = str(tags.get("EXIF ExposureTime", "0"))
+    if "/" in expo:
+        a, b = expo.split("/")
+        exposure = float(a) / float(b)
+    else:
+        exposure = float(expo)
+    return iso, exposure
 
 _CAM_DICT = {"Apple": "IP", "Google": "GP", "samsung": "S6",
              "motorola": "N6", "LGE": "G4"}
