@@ -93,3 +93,33 @@ def test_hist_threshold_close_to_sort():
     _, r_hist = f_hist(rggb, jnp.float32(959.0))
     np.testing.assert_allclose(np.asarray(r_hist), np.asarray(r_sort),
                                rtol=0.05, atol=1e-6)
+
+
+def test_frames_batch_mode_per_frame_params():
+    """batch_mode='frames': independent frames get independent (K, sigma)
+    and match scene-mode single-frame results."""
+    rng = np.random.default_rng(21)
+    lut = BiasLUT()
+    scenes = [_scene(np.random.default_rng(s), K_true=k)[1][:1]
+              for s, k in ((1, 4.0), (2, 12.0))]
+    frames = np.concatenate(scenes, axis=0)  # [2, 512, 512]
+    rggb = bayer2rggb(jnp.asarray(frames))
+
+    fb = make_fused_blind_denoiser(_BlurModel(), None, lut.lut,
+                                   guided=False, max_iter=1,
+                                   batch_mode="frames")
+    dn, regs = fb(rggb, jnp.float32(959.0))
+    regs = np.asarray(regs)
+    assert regs.shape == (2, 2, 2)
+    K0, K1 = regs[0, 0, 0] * 959, regs[1, 0, 0] * 959
+    assert abs(K0 - 4.0) / 4.0 < 0.3 and abs(K1 - 12.0) / 12.0 < 0.3
+
+    # matches the scene-mode result frame by frame
+    fs = make_fused_blind_denoiser(_BlurModel(), None, lut.lut,
+                                   guided=False, max_iter=1)
+    for i in range(2):
+        dn_i, regs_i = fs(rggb[i:i + 1], jnp.float32(959.0))
+        np.testing.assert_allclose(np.asarray(dn[i]), np.asarray(dn_i[0]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(regs[i], np.asarray(regs_i), rtol=1e-3,
+                                   atol=1e-7)

@@ -89,11 +89,20 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
                               max_iter: int = 1, pad_base: int = 32,
                               compute_dtype=None,
                               use_pallas_nle: bool = False,
-                              th_impl: str = "sort"):
-    """Build jit fn(rggb [B,h,w,4], scale) -> (dn [B,h,w,4], regs [2,2]).
+                              th_impl: str = "sort",
+                              batch_mode: str = "scene"):
+    """Build jit fn(rggb [B,h,w,4], scale) -> (dn [B,h,w,4], regs [...,2]).
 
     `lut` is captured as a device constant (8.5 MB, lives in HBM).
     regs[i] = (beta1, beta2) of round i.
+
+    batch_mode:
+    - 'scene': the whole batch is ONE scene (e.g. SIDD's 32 crops) — one
+      (K, sigma) pools statistics over all crops; regs [rounds, 2].
+    - 'frames': each batch element is an independent frame — the entire
+      pipeline is vmapped, per-frame NLE/params; regs [B, rounds, 2].
+      This is the serving-throughput mode: batched frames lift the UNet
+      out of its batch-1 utilization floor (~1.8x measured on v5e).
     """
     lut_dev = jnp.asarray(lut, jnp.float32)
     exact_inverse = bias_corr is None
@@ -156,8 +165,7 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             mean = box_mean(dn, k)
             return _nlf_core(var, mean, dn_k, step, th_impl)
 
-    @jax.jit
-    def fused(rggb, scale):
+    def fused_body(rggb, scale):
         b1, b2 = self_est(rggb)
         b1 = jnp.maximum(b1, 1e-4 / scale)  # defensive K clamp
         K0 = b1 * scale
@@ -178,4 +186,10 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             regs.append(jnp.where(ok, jnp.stack([c1, c2]), regs[-1]))
         return dn, jnp.stack(regs)
 
-    return fused
+    if batch_mode == "frames":
+        def one_frame(frame, scale):
+            dn, regs = fused_body(frame[None], scale)
+            return dn[0], regs
+
+        return jax.jit(jax.vmap(one_frame, in_axes=(0, None)))
+    return jax.jit(fused_body)
