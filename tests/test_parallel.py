@@ -76,17 +76,14 @@ def test_spatial_denoise_sharded_matches_single_device():
     np.testing.assert_allclose(np.asarray(out_s), ref_rggb, atol=2e-3)
 
 
-def test_dp_train_step_replicated_params_stay_synced():
-    """After a sharded train step, params must be identical across devices
-    (the psum'd gradient path)."""
-    from yondx.train import AWGNTrainer
-    args = {
-        "model_name": "dp_test", "fast_ckpt": "/tmp/dp_ckpt",
+def _dp_args(name, batch_size=8):
+    return {
+        "model_name": name, "fast_ckpt": "/tmp/dp_ckpt",
         "checkpoint": "/tmp/dp_saved", "result_dir": "/tmp/dp_img",
         "arch": {"name": "UNetSeeInDark", "in_nc": 4, "out_nc": 4,
                  "nf": 4, "nframes": 1, "res": True, "norm": False},
         "hyper": {"lr_scheduler": "WarmupCosine", "learning_rate": 1e-3,
-                  "batch_size": 8, "last_epoch": 0, "step_size": 1,
+                  "batch_size": batch_size, "last_epoch": 0, "step_size": 1,
                   "stop_epoch": 1, "T": 1, "save_freq": 10,
                   "plot_freq": 100},
         "dst_train": {"patch_size": 64, "sigma_min": 5, "sigma_max": 50,
@@ -96,11 +93,71 @@ def test_dp_train_step_replicated_params_stay_synced():
                      "clip": True, "command": "", "synthetic_len": 8,
                      "mode": "eval"},
     }
+
+
+def test_dp_train_step_updates_and_stays_synced():
+    """After a sharded train step with NONZERO lr, params must (a) actually
+    change and (b) be identical across devices (the psum'd gradient path).
+    Round-1 version trained at lr=0, making the sync assert vacuous."""
+    from yondx.train import AWGNTrainer
     mesh = make_mesh(8)
-    tr = AWGNTrainer(args, mesh=mesh)
+    tr = AWGNTrainer(_dp_args("dp_test"), mesh=mesh)
+    assert tr.lr_fn(1) > 0, "degenerate schedule must still give lr > 0"
+    p0 = [np.asarray(x) for x in jax.tree.leaves(jax.device_get(tr.params))]
     tr.train(stop_epoch=1, steps_per_epoch=2)
+    p1 = [np.asarray(x) for x in jax.tree.leaves(jax.device_get(tr.params))]
+    assert any(not np.array_equal(a, b) for a, b in zip(p0, p1)), \
+        "params unchanged after a train step"
     leaf = jax.tree.leaves(tr.params)[0]
     # fetch per-device copies and compare
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+def test_dp_grad_equivalence_2dev_vs_1dev():
+    """One train step on a 2-device mesh == the same step on 1 device with
+    the same total batch (same rng key, same data): the gradient psum must
+    reproduce the unsharded gradient."""
+    import jax.numpy as jnp
+    from yondx.train import AWGNTrainer
+    from yondx.parallel import shard_batch
+
+    rng = np.random.default_rng(11)
+    batch = (rng.random((4, 64, 64, 3)) * 255).astype(np.uint8)
+    results = []
+    for n in (1, 2):
+        tr = AWGNTrainer(_dp_args(f"dp_eq{n}", batch_size=4),
+                         mesh=make_mesh(n))
+        b = shard_batch(tr.mesh, jnp.asarray(batch))
+        key = jax.random.PRNGKey(5)
+        ema = tr.params
+        params, _, loss, m = tr._train_step(
+            tr.params, tr.opt_state, key, b, jnp.float32(1e-3), ema,
+            jnp.float32(0.0))
+        results.append((jax.device_get(params), float(loss)))
+    (p1, l1), (p2, l2) = results
+    assert abs(l1 - l2) < 1e-5 * max(1.0, abs(l1))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_cos_lr_schedule_reference_parity_and_degenerate_guard():
+    """Non-degenerate values match the reference formula
+    (trainer_base.py:148-156); degenerate period<=peak runs keep lr > 0."""
+    import math
+    from yondx.train.schedule import get_cos_lr
+    # warmup (coldstart=False): linear step/peak
+    assert get_cos_lr(10, period=100, peak=20, lr=1.0,
+                      coldstart=False) == 10 / 20
+    # cosine tail
+    e, period, peak, ratio = 60, 100, 20, 0.4
+    want = (1 - ratio) * (math.cos((e - peak) / (period - peak) * math.pi)
+                          * 0.5 + 0.5) + ratio
+    assert abs(get_cos_lr(e, period=period, peak=peak, lr=1.0) - want) < 1e-12
+    # restart halves amplitude
+    assert abs(get_cos_lr(e + period, period=period, peak=peak, lr=1.0)
+               - want / 2) < 1e-12
+    # degenerate tiny run: nonzero lr
+    assert get_cos_lr(1, period=1, peak=1, lr=1e-3) > 0

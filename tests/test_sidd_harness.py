@@ -58,6 +58,64 @@ def test_sidd_harness_end_to_end(tmp_path):
     assert out.shape[0] == 2  # two iterations cached
 
 
+def test_score_scene_per_crop_psnr_protocol(tmp_path):
+    """Raw metric protocol parity (YOND_SIDD.py:645-656): per-crop PSNR at
+    data_range=1 meaned over crops (NOT one PSNR over the stack — a
+    different, systematically lower statistic on heterogeneous crops),
+    per-crop SSIM x255, and non-positive outputs update -1."""
+    from yondx.eval.metrics import psnr, matlab_ssim
+    rng = np.random.default_rng(3)
+    # heterogeneous crops: very different MSEs so stack-PSNR != mean-PSNR
+    hr = rng.random((4, 64, 64)).astype(np.float32)
+    dn = hr + np.stack([rng.normal(0, s, (64, 64))
+                        for s in (0.001, 0.01, 0.05, 0.2)]).astype(np.float32)
+    want_psnr = float(np.mean([float(psnr(d, h, data_range=1.0))
+                               for d, h in zip(dn, hr)]))
+    want_ssim = float(np.mean([float(matlab_ssim(d * 255, h * 255))
+                               for d, h in zip(dn, hr)]))
+    stack_psnr = float(psnr(dn, hr, data_range=1.0))
+    assert abs(want_psnr - stack_psnr) > 1.0  # the two statistics differ
+
+    h = SIDDEvalHarness(None, None, "proto_test", max_iter=1,
+                        sample_dir=str(tmp_path),
+                        logfile=str(tmp_path / "log.log"))
+    h._score_scene("s", [dn, np.zeros_like(dn)], dn, hr)  # 2nd output <= 0
+    assert abs(h.psnrs[0].avg - want_psnr) < 1e-6
+    assert abs(h.ssims[0].avg - want_ssim) < 1e-6
+    assert h.psnrs[1].avg == -1 and h.ssims[1].avg == -1
+
+
+def test_sidd_harness_srgb_branch(tmp_path):
+    """save_plot wires process_sidd_image: PNGs written, per-crop sRGB
+    PSNR/SSIM at data_range=255 recorded (YOND_SIDD.py:658-670)."""
+    class _FakeSIDDMeta(_FakeSIDD):
+        def __getitem__(self, i):
+            d = super().__getitem__(i)
+            d["meta"] = {"bayer_2by2": [[1, 2], [2, 3]],
+                         "wb": np.array([[0.5, 1.0, 0.6]]),
+                         "cst2": np.eye(3) * 0.8 + 0.1}
+            return d
+
+    den = VSTDenoiser(_Blur(), None, guided=False, bias_corr="pre")
+    eng = YONDEngine(den, PipelineConfig(est_type="simple", max_iter=0))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        h = SIDDEvalHarness(eng, _FakeSIDDMeta(), "srgb_test", max_iter=0,
+                            save_plot=True, sample_dir=str(tmp_path / "png"),
+                            cache_npy=False)
+        res = h.run(wp=1023, bl=64, limit=1)
+    finally:
+        os.chdir(cwd)
+    assert "psnr_rgb" in res and res["psnr_rgb"][0] > 10
+    assert os.path.exists(tmp_path / "png" / "0000_noisy.png")
+    assert os.path.exists(tmp_path / "png" / "0000_gt.png")
+    assert os.path.exists(tmp_path / "png" / "0000_0.png")
+    with open(tmp_path / "metrics" / "srgb_test_metrics.pkl", "rb") as f:
+        m = pickle.load(f)
+    assert m["0000_scene"]["psnr_rgb"]
+
+
 def test_process_sidd_render():
     from yondx.isp import process_sidd_image
     bayer = np.random.rand(64, 64).astype(np.float32)

@@ -18,6 +18,9 @@ def get_cos_lr(step: int, period: int = 1000, peak: int = 20,
     T = step // period
     decay = 2 ** T
     step = step % period
+    if period <= peak:
+        # degenerate tiny run (period shorter than the warmup): no schedule
+        return lr / decay
     if step <= peak and (not coldstart or T > 0):
         mul = step / peak
     else:
