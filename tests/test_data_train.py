@@ -127,6 +127,61 @@ def test_short_training_run_reduces_loss(tmp_path):
     assert tr.train_psnr.avg > 0
 
 
+def test_rgb_img_dataset_training_mode(tmp_path):
+    """RGB_Img_Dataset path (reference yond_datasets.py:336-434): plain
+    3-channel sRGB AWGN with uniform sigma, 8-way aug, no unprocess. The
+    trainer switches on dataset name / in_nc==3; sample dumps write the
+    sRGB triptych."""
+    from yondx.train import AWGNTrainer
+    from yondx.parallel import make_mesh
+    args = {
+        "model_name": "rgb_tiny",
+        "fast_ckpt": str(tmp_path / "ckpt"),
+        "checkpoint": str(tmp_path / "saved"),
+        "result_dir": str(tmp_path / "img"),
+        "arch": {"name": "UNetSeeInDark", "in_nc": 3, "out_nc": 3,
+                 "nf": 4, "nframes": 1, "res": False, "norm": False},
+        "hyper": {"lr_scheduler": "WarmupCosine", "learning_rate": 1e-3,
+                  "batch_size": 4, "last_epoch": 0, "step_size": 1,
+                  "stop_epoch": 2, "T": 1, "coldstart": False,
+                  "save_freq": 10, "plot_freq": 100},
+        "dst_train": {"dataset": "RGB_Img_Dataset", "patch_size": 64,
+                      "sigma_min": 5, "sigma_max": 50, "clip": True,
+                      "command": "", "synthetic_len": 8, "mode": "train"},
+        "dst_eval": {"dataset": "RGB_Img_Dataset", "patch_size": 64,
+                     "sigma_list": [10, 25, 50], "clip": True,
+                     "command": "", "synthetic_len": 4, "mode": "eval"},
+    }
+    mesh = make_mesh(4)
+    tr = AWGNTrainer(args, mesh=mesh)
+    assert tr.rgb_mode
+    tr.train(stop_epoch=1, steps_per_epoch=2)
+    assert tr.train_psnr.avg > 0
+    p, s = tr.eval(epoch=1)
+    assert np.isfinite(p) and np.isfinite(s)
+    # the periodic sample dump wrote the sRGB triptych
+    import glob as _glob
+    assert _glob.glob(str(tmp_path / "img" / "samples-rgb_tiny" / "temp"
+                          / "temp_*.png"))
+
+
+def test_data_aug8_all_modes_distinct_and_invertible():
+    from yondx.data.augment import data_aug8
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 16, 16, 3)).astype(np.float32)
+    outs = []
+    for mode in range(8):
+        out = np.asarray(data_aug8(jnp.asarray(img),
+                                   jnp.full((1,), mode, jnp.int32)))[0]
+        outs.append(out)
+        # matches the reference formula: rot90(k=mode%4) then width flip
+        want = np.rot90(img[0], k=mode % 4, axes=(0, 1))
+        if mode // 4:
+            want = want[:, ::-1]
+        np.testing.assert_allclose(out, want)
+    assert len({o.tobytes() for o in outs}) == 8
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from yondx.train.ckpt import save_checkpoint, load_checkpoint
     import optax

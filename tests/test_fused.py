@@ -34,6 +34,22 @@ def test_device_curve_matches_host_curve():
         np.testing.assert_allclose(dev, host, atol=2e-4, rtol=1e-3)
 
 
+def test_device_curve_exact_beyond_sg10():
+    """Fused device bias for sg = sigma/K > 10 e- must match the host's
+    exact out-of-range evaluation (reference isp_algos.py:204-212) to
+    <1e-3 VST units — the round-1 closed-form fallback lost accuracy in
+    exactly the extreme-read-noise regime bias correction exists for."""
+    from yondx.vst.lut import load_sgext_lut
+    lut = BiasLUT()
+    sgext = jnp.asarray(load_sgext_lut())
+    for K, sigma in [(1.0, 12.0), (1.0, 20.0), (2.0, 30.0), (1.0, 150.0)]:
+        host = bias_curve_for(K, sigma, lut.lut)
+        dev = np.asarray(device_bias_curve(jnp.asarray(lut.lut),
+                                           jnp.float32(K),
+                                           jnp.float32(sigma), sgext))
+        assert np.max(np.abs(dev - host)) < 1e-3, (K, sigma)
+
+
 def test_fused_matches_engine():
     rng = np.random.default_rng(11)
     clean, noisy = _scene(rng)

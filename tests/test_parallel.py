@@ -132,7 +132,7 @@ def test_dp_grad_equivalence_2dev_vs_1dev():
         b = shard_batch(tr.mesh, jnp.asarray(batch))
         key = jax.random.PRNGKey(5)
         ema = tr.params
-        params, _, loss, m = tr._train_step(
+        params, _, loss, m, _sample = tr._train_step(
             tr.params, tr.opt_state, key, b, jnp.float32(1e-3), ema,
             jnp.float32(0.0))
         results.append((jax.device_get(params), float(loss)))

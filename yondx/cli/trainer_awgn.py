@@ -59,8 +59,11 @@ def main(argv=None):
         # reload best model for the final sweep (reference :394-398)
         path = find_checkpoint(trainer.fast_ckpt, trainer.model_name)
         if path:
+            from ..parallel import replicate
             state = load_checkpoint(path, jax.device_get(trainer.params))
-            trainer.params = state["params"]
+            # keep the reloaded params mesh-placed (round-1 weak #7: bare
+            # host arrays would silently re-place per eval call)
+            trainer.params = replicate(trainer.mesh, state["params"])
         sigma_list = args.get("dst_test", args.get("dst_eval", {})).get(
             "sigma_list", [10, 25, 50])
         for sigma in sigma_list:

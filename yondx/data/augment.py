@@ -27,6 +27,24 @@ from .noise import (get_specific_noise_params, get_camera_noisy_params)
 from .unprocess import random_gains
 
 
+def data_aug8(imgs, modes):
+    """Device 8-way rot/flip augmentation of square crops (reference
+    Dataset.data_aug, yond_datasets.py:258-266): mode%4 = rot90 count,
+    mode//4 = width flip. imgs [B, S, S, C], modes [B] int. (Note the
+    reference's RGB_Img_Dataset discards the aug result at :395 — a bug;
+    here the augmentation is actually applied.)"""
+    def one(img, mode):
+        img = jax.lax.switch(mode % 4, [
+            lambda x: x,
+            lambda x: jnp.rot90(x, 1, axes=(0, 1)),
+            lambda x: jnp.rot90(x, 2, axes=(0, 1)),
+            lambda x: jnp.rot90(x, 3, axes=(0, 1)),
+        ], img)
+        return jnp.where(mode // 4 > 0, img[:, ::-1], img)
+
+    return jax.vmap(one)(imgs, modes)
+
+
 def get_aug_param(key, wb, command: str = "augv5",
                   camera_type: str = "SonyA7S2"):
     """-> (aug_r, aug_g, aug_b) per-sample scalars; wb: [B, 3]."""

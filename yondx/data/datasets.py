@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import glob
 import os
-import queue
-import threading
 from typing import Iterator, Optional
 
 import numpy as np
@@ -221,38 +219,51 @@ class SIDDValDataset:
 
 
 class BatchLoader:
-    """Shuffled, drop-last batches with one background prefetch thread."""
+    """Shuffled, drop-last batches with a multi-threaded prefetch pool.
+
+    The reference uses num_workers=8 DataLoader processes
+    (trainer_AWGN.py:45-50); here `workers` threads each np.load/stack one
+    batch (numpy releases the GIL during disk reads and copies), and an
+    ordering stage re-serializes them so iteration order stays identical to
+    the single-threaded loader for any worker count.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, prefetch: int = 2, epochs: int = 1):
+                 seed: int = 0, prefetch: int = 4, epochs: int = 1,
+                 workers: int = 4):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.seed = seed
-        self.prefetch = prefetch
+        self.prefetch = max(prefetch, workers)
         self.epochs = epochs
+        self.workers = max(1, workers)
 
     def __len__(self):
         return len(self.ds) // self.bs
 
-    def _produce(self, q: queue.Queue, epoch: int):
+    def _load_batch(self, idxs) -> np.ndarray:
+        return np.stack([self.ds[int(i)] for i in idxs])
+
+    def epoch(self, epoch: int = 0) -> Iterator[np.ndarray]:
+        from concurrent.futures import ThreadPoolExecutor
         rng = np.random.default_rng(self.seed + epoch)
         order = np.arange(len(self.ds))
         if self.shuffle:
             rng.shuffle(order)
-        for s in range(0, len(order) - self.bs + 1, self.bs):
-            batch = np.stack([self.ds[int(i)] for i in order[s:s + self.bs]])
-            q.put(batch)
-        q.put(None)
-
-    def epoch(self, epoch: int = 0) -> Iterator[np.ndarray]:
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        t = threading.Thread(target=self._produce, args=(q, epoch),
-                             daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        t.join()
+        starts = range(0, len(order) - self.bs + 1, self.bs)
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            pending = []
+            it = iter(starts)
+            # keep `prefetch` batches in flight; yield in submission order
+            for s in it:
+                pending.append(pool.submit(self._load_batch,
+                                           order[s:s + self.bs]))
+                if len(pending) >= self.prefetch:
+                    break
+            for s in it:
+                yield pending.pop(0).result()
+                pending.append(pool.submit(self._load_batch,
+                                           order[s:s + self.bs]))
+            while pending:
+                yield pending.pop(0).result()

@@ -197,6 +197,20 @@ def awgn_log_uniform(key, clean, sigma_min: float = 5.0,
     return noisy, sigma
 
 
+def awgn_uniform(key, clean, sigma_min: float = 5.0,
+                 sigma_max: float = 50.0):
+    """Per-sample AWGN with UNIFORM sigma in [smin, smax]/255 — the plain
+    sRGB RGB_Img_Dataset's sampler (yond_datasets.py:418-421; the log-
+    uniform line there is commented out). Returns (noisy, sigma[B])."""
+    B = clean.shape[0]
+    k1, k2 = jax.random.split(key)
+    sigma = jax.random.uniform(k1, (B,), minval=sigma_min,
+                               maxval=sigma_max) / 255.0
+    bshape = (B,) + (1,) * (clean.ndim - 1)
+    noisy = clean + jax.random.normal(k2, clean.shape) * sigma.reshape(bshape)
+    return noisy, sigma
+
+
 def sample_pg_params(key, k_range=(1e-3, 1e-1), sig_read_range=(1e-4, 1e-2)):
     """Log-uniform Poisson-Gaussian parameter sampler in normalized units
     (DIV2K_PG_Dataset.get_noise_params, yond_datasets.py:672-682 style)."""

@@ -110,6 +110,72 @@ def unetseeindark_from_torch(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return {"params": tree}
 
 
+def _conv_to_torch(tree):
+    return np.transpose(np.asarray(tree["kernel"]), (3, 2, 0, 1)), \
+        np.asarray(tree["bias"])
+
+
+def _grb_to_torch(tree, prefix: str, has_shortcut: bool) -> Dict[str, Any]:
+    """flax GuidedResidualBlock tree -> torch state-dict entries (inverse
+    of _grb_from_torch)."""
+    sd = {}
+    for cn in ("conv1", "conv2"):
+        sd[f"{prefix}.{cn}.weight"], sd[f"{prefix}.{cn}.bias"] = \
+            _conv_to_torch(tree[cn])
+    g = tree["guide"]
+    for tname, fname in (("gamma.0", "gamma_in"), ("gamma.2", "gamma_out"),
+                         ("beta.1", "beta_out")):
+        k = np.transpose(np.asarray(g[fname]["kernel"]), (1, 0))
+        sd[f"{prefix}.{tname}.weight"] = k[:, :, None, None]
+        sd[f"{prefix}.{tname}.bias"] = np.asarray(g[fname]["bias"])
+    if has_shortcut:
+        sd[f"{prefix}.short_cut.0.weight"], \
+            sd[f"{prefix}.short_cut.0.bias"] = _conv_to_torch(
+                tree["short_cut"]["conv"])
+    return sd
+
+
+def guidedresunet_to_torch(params: Dict[str, Any]) -> Dict[str, Any]:
+    """flax GuidedResUnet params -> reference torch state_dict (numpy
+    values). Inverse of guidedresunet_from_torch; lets the shipped flax
+    weights drive the reference implementation (the golden-gate tests)."""
+    unet = params["params"]["unet"]
+    sd: Dict[str, Any] = {}
+    for name in ("conv_in", "conv10"):
+        sd[f"{name}.weight"], sd[f"{name}.bias"] = _conv_to_torch(unet[name])
+    for i in range(1, 6):
+        sd.update(_grb_to_torch(unet[f"conv{i}"], f"conv{i}", False))
+    for i in range(6, 10):
+        sd.update(_grb_to_torch(unet[f"conv{i}"], f"conv{i}", True))
+    for i in range(1, 5):
+        sd[f"pool{i}.conv.weight"], sd[f"pool{i}.conv.bias"] = \
+            _conv_to_torch(unet[f"pool{i}"]["conv"])
+    for i in range(6, 10):
+        k = np.asarray(unet[f"upv{i}"]["deconv"]["kernel"])[::-1, ::-1]
+        sd[f"upv{i}.weight"] = np.ascontiguousarray(
+            np.transpose(k, (2, 3, 0, 1)))
+        sd[f"upv{i}.bias"] = np.asarray(unet[f"upv{i}"]["deconv"]["bias"])
+    return sd
+
+
+def unetseeindark_to_torch(params: Dict[str, Any]) -> Dict[str, Any]:
+    """flax UNetSeeInDark params -> reference torch state_dict (numpy)."""
+    tree = params["params"]
+    sd: Dict[str, Any] = {}
+    for i in range(1, 10):
+        for j in (1, 2):
+            sd[f"conv{i}_{j}.weight"], sd[f"conv{i}_{j}.bias"] = \
+                _conv_to_torch(tree[f"conv{i}_{j}"])
+    for i in range(6, 10):
+        k = np.asarray(tree[f"upv{i}"]["deconv"]["kernel"])[::-1, ::-1]
+        sd[f"upv{i}.weight"] = np.ascontiguousarray(
+            np.transpose(k, (2, 3, 0, 1)))
+        sd[f"upv{i}.bias"] = np.asarray(tree[f"upv{i}"]["deconv"]["bias"])
+    sd["conv10_1.weight"], sd["conv10_1.bias"] = _conv_to_torch(
+        tree["conv10_1"])
+    return sd
+
+
 def load_pth(path: str) -> Dict[str, Any]:
     """Load a torch checkpoint file into a plain numpy state dict."""
     import torch

@@ -50,20 +50,57 @@ def _sep_blur(x, k: int):
     return y.reshape(lead + (H, W, C))
 
 
+def _box1d_cumsum(x, k: int, axis: int):
+    """Sliding-window mean along `axis` with reflect-101 border via prefix
+    sums: O(1) per pixel instead of the k-tap conv (7-40x faster at k=29 on
+    multi-MP planes; the conv path runs at ~10 GFLOP/s on the v5e because a
+    single-input-channel depthwise conv cannot use the MXU)."""
+    pad = k // 2
+    pad_cfg = [(0, 0)] * x.ndim
+    pad_cfg[axis] = (pad, pad)
+    xp = jnp.pad(x, pad_cfg, mode="reflect")
+    cs = jnp.cumsum(xp.astype(jnp.float32), axis=axis)
+    zshape = list(cs.shape)
+    zshape[axis] = 1
+    cs = jnp.concatenate([jnp.zeros(zshape, cs.dtype), cs], axis=axis)
+    n = x.shape[axis]
+    hi = jax.lax.slice_in_dim(cs, k, k + n, axis=axis)
+    lo = jax.lax.slice_in_dim(cs, 0, n, axis=axis)
+    return (hi - lo) * (1.0 / k)
+
+
+def _box2d(x, k: int):
+    """[..., H, W, C] separable box mean, centered for fp32 accuracy: the
+    prefix sums run on (x - mean(x)) so cancellation error stays ~1e-6 even
+    on 2k-pixel rows (box_mean is shift-equivariant)."""
+    c = jnp.mean(x, axis=(-3, -2), keepdims=True)
+    y = _box1d_cumsum(x - c, k, x.ndim - 3)
+    y = _box1d_cumsum(y, k, x.ndim - 2)
+    return y + c
+
+
 def box_mean(x, k: int):
     """cv2.blur(x, (k, k)) equivalent.
 
     [H, W] is treated as a single plane; ndim >= 3 is [..., H, W, C].
     """
     if x.ndim == 2:
-        return _sep_blur(x[..., None], k)[..., 0]
-    return _sep_blur(x, k)
+        return _box2d(x[..., None], k)[..., 0]
+    return _box2d(x, k)
 
 
 def varfilt(x, k: int):
-    """Local variance E[x^2] - E[x]^2 (reference varfilt, isp_algos.py:245)."""
-    m = box_mean(x, k)
-    m2 = box_mean(x * x, k)
+    """Local variance E[x^2] - E[x]^2 (reference varfilt, isp_algos.py:245).
+
+    Computed on globally-centered data (mathematically identical — variance
+    is shift-invariant — but numerically far better in fp32: E[x^2] and
+    E[x]^2 of centered data are small, so their difference doesn't cancel).
+    """
+    c = jnp.mean(x, axis=(-3, -2) if x.ndim >= 3 else (-2, -1),
+                 keepdims=True)
+    xc = x - c
+    m = box_mean(xc, k)
+    m2 = box_mean(xc * xc, k)
     return m2 - m * m
 
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .boxfilter import box_mean, stdfilt
-from .threshold import adaptive_threshold_score3
+from .threshold import score3_threshold_with_p25
 from .fit import masked_linefit, nonsat_weights
 
 
@@ -28,10 +28,9 @@ def _flat_mask_and_fit(var, mean, texture, step: int):
     """Shared tail of Self/Collab NLF: adaptive threshold -> flat mask
     (with the reference's empty-mask 25th-percentile fallback,
     YOND_SIDD.py:77-84) -> saturation filter -> weighted line fit."""
-    th, _ = adaptive_threshold_score3(texture, mean, step=step)
+    th, th25 = score3_threshold_with_p25(texture, mean, step=step)
     mask = (texture < th).astype(jnp.float32)
     # fallback: no flat area -> 25th percentile threshold (strict <)
-    th25 = jnp.percentile(texture.reshape(-1), 25.0, method="linear")
     mask25 = (texture < th25).astype(jnp.float32)
     empty = jnp.sum(mask) == 0
     mask = jnp.where(empty, mask25, mask)

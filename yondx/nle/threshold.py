@@ -61,31 +61,64 @@ def _hist_percentiles(data, quants):
 
 
 def adaptive_threshold_score3(texture, mean, step: int = 5,
-                              impl: str = "sort"):
+                              impl: str = "sort", subsample: int = 1):
     """Returns (th, quant_percent) — jit-safe.
 
     texture, mean: same-shape arrays (any rank; flattened internally).
     impl: 'sort' = exact percentiles (reference parity); 'hist' = O(N)
     histogram percentiles (bin-accurate; the throughput path).
+    subsample: stride over pixels for the *threshold selection only* (the
+    line fit downstream still sees every pixel). Percentiles and bucket
+    occupancy are order statistics of a >1e7-sample texture field; a
+    stride-s subsample shifts them by O(s/N) quantile — far below the
+    5%-quantile granularity of the candidate grid. 8 is safe for
+    multi-megapixel frames and cuts the sort+segment_min cost ~8x.
     """
-    data = texture.reshape(-1)
-    m = mean.reshape(-1)
+    th, quant, _, _ = _score3_full(texture, mean, step, impl, subsample)
+    return th, quant
+
+
+def _npeaks(texture, mean, ths, subsample: int = 1):
+    data = texture.reshape(-1)[::subsample]
+    m = mean.reshape(-1)[::subsample]
+    # .astype(int) truncation on clip(0,1)*1000 -> buckets 0..1000
+    buckets = (jnp.clip(m, 0.0, 1.0) * NBINS).astype(jnp.int32)
+    min_tex = jax.ops.segment_min(
+        data, buckets, num_segments=NBINS + 1, indices_are_sorted=False)
+    # empty buckets get +inf from segment_min -> never counted
+    npeaks = jnp.sum(min_tex[None, :] <= ths[:, None], axis=1).astype(
+        data.dtype)
+    return jnp.maximum(npeaks, 1.0)
+
+
+def _score3_scores(ths, quants, npeaks):
+    return ths / (quants * npeaks)
+
+
+def _score3_full(texture, mean, step: int, impl: str, subsample: int):
+    data = texture.reshape(-1)[::subsample]
     n_q = 100 // step
     quants = jnp.linspace(step, 100, n_q, endpoint=True)
     if impl == "hist":
         ths = _hist_percentiles(data, quants)
     else:
         ths = jnp.percentile(data, quants, method="linear")
-
-    # .astype(int) truncation on clip(0,1)*1000 -> buckets 0..1000
-    buckets = jnp.clip(m, 0.0, 1.0) * NBINS
-    buckets = buckets.astype(jnp.int32)
-    min_tex = jax.ops.segment_min(
-        data, buckets, num_segments=NBINS + 1, indices_are_sorted=False)
-    # empty buckets get +inf from segment_min -> never counted
-    npeaks = jnp.sum(min_tex[None, :] <= ths[:, None], axis=1).astype(
-        data.dtype)
-    npeaks = jnp.maximum(npeaks, 1.0)
-    score = ths / (quants * npeaks)
+    npeaks = _npeaks(texture, mean, ths, subsample)
+    score = _score3_scores(ths, quants, npeaks)
     i = jnp.argmin(score[1:]) + 1
-    return ths[i], quants[i]
+    return ths[i], quants[i], ths, quants
+
+
+def score3_threshold_with_p25(texture, mean, step: int = 5,
+                              impl: str = "sort", subsample: int = 1):
+    """(th, th25): the adaptive threshold AND the 25th-percentile backup
+    (SelfNLF's empty-mask fallback, YOND_SIDD.py:80-84) from ONE sort —
+    quant 25 sits on the candidate grid whenever 25 % step == 0, so the
+    reference's separate np.percentile(data, 25) is a free read here."""
+    th, _, ths, _ = _score3_full(texture, mean, step, impl, subsample)
+    if 25 % step == 0:
+        th25 = ths[25 // step - 1]
+    else:
+        th25 = jnp.percentile(texture.reshape(-1)[::subsample], 25.0,
+                              method="linear")
+    return th, th25

@@ -28,7 +28,8 @@ import optax
 from ..core.logging import log, timestamp
 from ..core.meters import AverageMeter
 from ..data.unprocess import srgb_to_pseudo_raw
-from ..data.noise import awgn_log_uniform
+from ..data.noise import awgn_log_uniform, awgn_uniform
+from ..data.augment import data_aug8
 from ..data.datasets import (SyntheticSRGBDataset, NpyFolderDataset,
                              BatchLoader)
 from ..models import build_model
@@ -62,6 +63,10 @@ class AWGNTrainer:
         self.sample_dir = os.path.join(args.get("result_dir", "images"),
                                        f"samples-{self.model_name}")
         self.guided = is_guided(self.arch)
+        # RGB_Img_Dataset mode (yond_datasets.py:336-434): plain sRGB AWGN
+        # training — no unprocess/mosaic/CFA, UNIFORM sigma, 8-way aug
+        self.rgb_mode = (self.dst.get("dataset") == "RGB_Img_Dataset"
+                         or self.arch.get("in_nc") == 3)
         self.logfile = f"./logs/log_{self.model_name}.log"
 
         self.model = build_model(self.arch, dtype=dtype)
@@ -74,8 +79,9 @@ class AWGNTrainer:
             mesh = make_mesh(n)
         self.mesh = mesh
         ps = self.dst.get("patch_size", 256)
+        net_ps = ps if self.rgb_mode else ps // 2
         self.params = init_params(self.model, jax.random.PRNGKey(0),
-                                  (1, ps // 2, ps // 2, self.arch["in_nc"]),
+                                  (1, net_ps, net_ps, self.arch["in_nc"]),
                                   guided=self.guided)
 
         self.lr_fn = lr_lambda_from_hyper(self.hyper)
@@ -162,14 +168,26 @@ class AWGNTrainer:
                     jnp.abs(pred - pred2))
             return loss, pred
 
+        rgb_mode = self.rgb_mode
+
         def step(params, opt_state, key, batch, lr_value, ema_params,
                  use_consistency):
             k_data, k_noise, k_cons = jax.random.split(key, 3)
             if batch.dtype == jnp.uint8:
                 batch = batch.astype(jnp.float32) / 255.0
-            hr, wb, cam2rgb, pattern = srgb_to_pseudo_raw(
-                k_data, batch, bayer_aug_enabled=bayeraug)
-            noisy, sigma = awgn_log_uniform(k_noise, hr, smin, smax)
+            if rgb_mode:
+                # plain sRGB path (RGB_Img_Dataset): 8-way aug + uniform-
+                # sigma AWGN directly on the 3-channel crops
+                modes = jax.random.randint(k_data, (batch.shape[0],), 0, 8)
+                hr = data_aug8(batch, modes)
+                wb = jnp.ones((batch.shape[0], 4))
+                cam2rgb = jnp.broadcast_to(jnp.eye(3), (batch.shape[0], 3, 3))
+                pattern = jnp.zeros((batch.shape[0],), jnp.int32)
+                noisy, sigma = awgn_uniform(k_noise, hr, smin, smax)
+            else:
+                hr, wb, cam2rgb, pattern = srgb_to_pseudo_raw(
+                    k_data, batch, bayer_aug_enabled=bayeraug)
+                noisy, sigma = awgn_log_uniform(k_noise, hr, smin, smax)
             if clip:
                 noisy = jnp.clip(noisy, 0.0, 1.0)
                 hr = jnp.clip(hr, 0.0, 1.0)
@@ -180,7 +198,11 @@ class AWGNTrainer:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             m = psnr_loss(jnp.clip(pred, 0, 1), jnp.clip(hr, 0, 1))
-            return params, opt_state, loss, m
+            # first-sample visualization payload (fetched only on dump
+            # steps; stays on device otherwise)
+            sample = (jnp.clip(noisy[0], 0, 1), jnp.clip(pred[0], 0, 1),
+                      hr[0], wb[0], cam2rgb[0], pattern[0])
+            return params, opt_state, loss, m, sample
 
         return step
 
@@ -206,7 +228,8 @@ class AWGNTrainer:
         root = dst.get("root_dir", "")
         try:
             if dataset_name in ("RGB_Img2Raw_Dataset", "NpyFolderDataset",
-                                "DIV2K_Img2Raw_Dataset") and root:
+                                "DIV2K_Img2Raw_Dataset",
+                                "RGB_Img_Dataset") and root:
                 ds = NpyFolderDataset(root, mode=dst.get("mode", mode),
                                       subname=dst.get("subname"))
             else:
@@ -241,10 +264,13 @@ class AWGNTrainer:
                 runtime["dataloader"] += timestamp(tp, 1)
                 key, sub = jax.random.split(key)
                 b = shard_batch(self.mesh, batch)
-                self.params, self.opt_state, loss, m = self._train_step(
-                    self.params, self.opt_state, sub, b,
-                    jnp.float32(lr_value), ema_params, use_cons)
+                self.params, self.opt_state, loss, m, sample = \
+                    self._train_step(
+                        self.params, self.opt_state, sub, b,
+                        jnp.float32(lr_value), ema_params, use_cons)
                 m = float(m)
+                if n_steps % 100 == 0:
+                    self._dump_temp_sample(sample, epoch, pf)
                 # the tunneled device client retains host staging buffers;
                 # free the batch explicitly (observed ~10 MB/step host leak
                 # -> OOM after ~12k steps without this)
@@ -294,6 +320,34 @@ class AWGNTrainer:
                         jax.device_get(self.opt_state), epoch,
                         self.best_psnr)
 
+    def _dump_temp_sample(self, sample, epoch: int, pf: int):
+        """Periodic training triptych (reference trainer_AWGN.py:136-149):
+        noisy | prediction | GT of the first batch element, CFA-unrotated
+        and FastISP-rendered, overwritten at
+        samples/temp/temp_{epoch_bucket:04d}.png. Never fatal."""
+        try:
+            import cv2
+            from ..isp.bayer import bayer_aug
+            from ..isp.render import fast_isp
+            noisy, pred, hr, wb, cam2rgb, pattern = \
+                (np.asarray(x) for x in sample)
+            trip = np.concatenate([noisy, pred, hr], axis=1)
+            if trip.shape[-1] == 4:
+                pck = int((4 - pattern) % 4)
+                trip = np.asarray(bayer_aug(jnp.asarray(trip), pck))
+                img = fast_isp(trip, wb=wb.reshape(-1),
+                               ccm=cam2rgb.reshape(3, 3))
+            else:
+                img = np.clip(trip, 0, 1)
+            out_dir = os.path.join(self.sample_dir, "temp")
+            os.makedirs(out_dir, exist_ok=True)
+            fname = os.path.join(out_dir,
+                                 f"temp_{epoch // pf * pf:04d}.png")
+            cv2.imwrite(fname, np.uint8(img[:, :, ::-1] * 255))
+        except Exception as e:  # visualization must never kill training
+            log(f"sample dump skipped: {type(e).__name__}: {e}",
+                logfile=self.logfile)
+
     def predict(self, raw_bayer, tile: int = 1024, halo: int = 64,
                 t: float = 0.0):
         """Tiled full-frame inference with the trained net (reference
@@ -331,7 +385,11 @@ class AWGNTrainer:
             b = jnp.asarray(batch)
             if b.dtype == jnp.uint8:
                 b = b.astype(jnp.float32) / 255.0
-            hr, _, _, _ = srgb_to_pseudo_raw(k1, b, bayer_aug_enabled=False)
+            if self.rgb_mode:
+                hr = b
+            else:
+                hr, _, _, _ = srgb_to_pseudo_raw(k1, b,
+                                                 bayer_aug_enabled=False)
             noise = jax.random.normal(k2, hr.shape) * sig
             lr = jnp.clip(hr + noise, 0, 1) if self.clip else hr + noise
             hr = jnp.clip(hr, 0, 1) if self.clip else hr

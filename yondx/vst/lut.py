@@ -50,6 +50,15 @@ _N_EXT = 256
 X_EXT = np.exp(np.linspace(np.log(2 ** 10), np.log(2 ** 16), _N_EXT + 1))[1:]
 FULL_X_GRID = np.concatenate((X_LUT, X_EXT))      # 2177
 
+# Read-noise extension grid past the reference table's 10 e- (ours): the
+# host path evaluates the exact separable integral out-of-range
+# (isp_algos.py:204-212); the device path can't, so it blends rows of this
+# auxiliary exact table instead (log-spaced; beyond its end the closed form
+# is accurate). 64 columns x X_LUT rows, built once and cached on disk.
+SG_EXT = np.exp(np.linspace(np.log(10.0), np.log(160.0), 65))
+_LOG_SG_EXT_A = math.log(10.0)
+_LOG_SG_EXT_D = (math.log(160.0) - _LOG_SG_EXT_A) / 64
+
 _LOG_A = math.log(2 ** -4)
 _LOG_D = (math.log(2 ** 10) - _LOG_A) / (14 * _SP)      # log-grid step
 _EXT_A = math.log(2 ** 10)
@@ -71,6 +80,36 @@ def build_bias_lut(path: str | None = None, block: int = 256) -> np.ndarray:
     if path:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         np.save(path, lut)
+    return lut
+
+
+def build_bias_lut_sgext(path: str | None = None) -> np.ndarray:
+    """Exact bias table over (X_LUT, SG_EXT) for the device sg>10 path."""
+    lut = bias_points(X_LUT, SG_EXT).astype(np.float32)
+    if path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.save(path, lut)
+    return lut
+
+
+def _sgext_path_for(lut_path: str | None) -> str | None:
+    if lut_path:
+        return os.path.join(os.path.dirname(lut_path) or ".",
+                            "bias_lut_sgext.npy")
+    return None
+
+
+def load_sgext_lut(lut_path: str | None = None) -> np.ndarray:
+    """Load (or build+cache) the sg-extension table next to the main LUT."""
+    path = _sgext_path_for(lut_path or _default_lut_path())
+    key = os.path.abspath(path) if path else "__sgext__"
+    if key not in _LUT_CACHE:
+        if path and os.path.exists(path):
+            _LUT_CACHE[key] = np.load(path)
+        else:
+            _LUT_CACHE[key] = build_bias_lut_sgext(path)
+    lut = _LUT_CACHE[key]
+    assert lut.shape == (len(X_LUT), len(SG_EXT)), lut.shape
     return lut
 
 
