@@ -9,7 +9,8 @@ buckets among pixels with texture <= th; pick the argmin over candidates
 distinct brightness levels (so the var~mean line fit is well-conditioned).
 
 TPU-native formulation: instead of a Python loop re-bincounting per
-candidate, compute per-bucket *minimum texture* once (segment_min); bucket b
+candidate, compute per-bucket *minimum texture* once (a scatter-free
+chunked compare/select/min scan — see _blockwise_min_by_bucket); bucket b
 is occupied at threshold th iff min_texture[b] <= th, so
 npeaks(th) = sum(min_texture <= th) — one O(N) pass + a tiny [n_q x 1001]
 comparison. Identical result, fully static shapes, jit-safe.
@@ -78,14 +79,51 @@ def adaptive_threshold_score3(texture, mean, step: int = 5,
     return th, quant
 
 
+def _subsample(x, s: int):
+    """Lane-friendly 1/s subsample: every s-th 128-lane block (contiguous
+    sub-block slice). A strided gather x[::s] costs ~17 ms on a 12.6 MP
+    plane on the v5e (non-contiguous lane reads); this is a dense copy.
+    The samples are 128-px runs spread uniformly over the image — for
+    order statistics of a texture field whose correlation length (box k)
+    already exceeds the stride this is as informative as a pure stride."""
+    x = x.reshape(-1)
+    if s <= 1:
+        return x
+    blk = 128 * s
+    n = x.shape[0] // blk * blk
+    return x[:n].reshape(-1, s, 128)[:, 0, :].reshape(-1)
+
+
+def _blockwise_min_by_bucket(data, buckets, n_buckets: int,
+                             chunk: int = 131072):
+    """Per-bucket minimum via a fused compare/select/min reduction scanned
+    over row chunks — no scatter. jax.ops.segment_min (scatter-min) costs
+    16.8 ms on 1.6M elements on the v5e vs 4.1 ms for this formulation;
+    results are bit-identical (min is insensitive to order)."""
+    n = data.shape[0]
+    pad = (-n) % chunk
+    dp = jnp.pad(data, (0, pad), constant_values=jnp.inf)
+    bp = jnp.pad(buckets, (0, pad), constant_values=n_buckets)
+    cols = jnp.arange(n_buckets)
+
+    def body(mt, xs):
+        dc, bc = xs
+        cand = jnp.min(jnp.where(bc[:, None] == cols[None, :],
+                                 dc[:, None], jnp.inf), axis=0)
+        return jnp.minimum(mt, cand), None
+
+    mt, _ = jax.lax.scan(body, jnp.full((n_buckets,), jnp.inf),
+                         (dp.reshape(-1, chunk), bp.reshape(-1, chunk)))
+    return mt
+
+
 def _npeaks(texture, mean, ths, subsample: int = 1):
-    data = texture.reshape(-1)[::subsample]
-    m = mean.reshape(-1)[::subsample]
+    data = _subsample(texture, subsample)
+    m = _subsample(mean, subsample)
     # .astype(int) truncation on clip(0,1)*1000 -> buckets 0..1000
     buckets = (jnp.clip(m, 0.0, 1.0) * NBINS).astype(jnp.int32)
-    min_tex = jax.ops.segment_min(
-        data, buckets, num_segments=NBINS + 1, indices_are_sorted=False)
-    # empty buckets get +inf from segment_min -> never counted
+    min_tex = _blockwise_min_by_bucket(data, buckets, NBINS + 1)
+    # empty buckets keep +inf -> never counted
     npeaks = jnp.sum(min_tex[None, :] <= ths[:, None], axis=1).astype(
         data.dtype)
     return jnp.maximum(npeaks, 1.0)
@@ -96,7 +134,7 @@ def _score3_scores(ths, quants, npeaks):
 
 
 def _score3_full(texture, mean, step: int, impl: str, subsample: int):
-    data = texture.reshape(-1)[::subsample]
+    data = _subsample(texture, subsample)
     n_q = 100 // step
     quants = jnp.linspace(step, 100, n_q, endpoint=True)
     if impl == "hist":
@@ -119,6 +157,6 @@ def score3_threshold_with_p25(texture, mean, step: int = 5,
     if 25 % step == 0:
         th25 = ths[25 // step - 1]
     else:
-        th25 = jnp.percentile(texture.reshape(-1)[::subsample], 25.0,
+        th25 = jnp.percentile(_subsample(texture, subsample), 25.0,
                               method="linear")
     return th, th25

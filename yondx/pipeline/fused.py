@@ -108,7 +108,8 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
                               use_pallas_nle: bool = False,
                               th_impl: str = "sort",
                               th_subsample=None,
-                              batch_mode: str = "scene"):
+                              batch_mode: str = "scene",
+                              frames_sequential: bool = True):
     """Build jit fn(rggb [B,h,w,4], scale) -> (dn [B,h,w,4], regs [...,2]).
 
     `lut` is captured as a device constant (8.5 MB, lives in HBM).
@@ -130,6 +131,8 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
         if bias_corr == "pre" else None
     exact_inverse = bias_corr is None
 
+    apply_fn = model.apply
+
     def net(z, nsr):
         zp, p2d = pad_to_multiple(z, pad_base)
         zin = jnp.clip(zp, 0.0, 1.0)
@@ -137,9 +140,9 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             zin = zin.astype(compute_dtype)
         if guided:
             t = jnp.broadcast_to(nsr * sigma_corr, (zin.shape[0],))
-            out = model.apply(params, zin, t)
+            out = apply_fn(params, zin, t)
         else:
-            out = model.apply(params, zin)
+            out = apply_fn(params, zin)
         out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
         return unpad(out, p2d)
 
@@ -215,5 +218,13 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             dn, regs = fused_body(frame[None], scale)
             return dn[0], regs
 
+        if frames_sequential:
+            # lax.map: frames processed sequentially INSIDE one dispatch —
+            # peak HBM stays at one frame's working set (12.6 MP frames
+            # OOM'd at B=2 under vmap, round-1 STATUS), and the chip is
+            # serial anyway so batched execution buys no extra throughput
+            # at multi-MP sizes.
+            return jax.jit(lambda frames, scale: jax.lax.map(
+                lambda f: one_frame(f, scale), frames))
         return jax.jit(jax.vmap(one_frame, in_axes=(0, None)))
     return jax.jit(fused_body)

@@ -231,7 +231,11 @@ def lookup_bias_curve(x_dn, curve, K):
 
 
 # --- gather-free Chebyshev path ---------------------------------------
-CHEB_M = 257          # nodes == series length
+# 65 nodes: max |cheb - linear-interp gather| ~2e-4 VST units over
+# representative (K, sigma) — within the 1e-3 gate; error is dominated by
+# the curve's grid-junction kinks, not order (257 only reaches ~4e-5), and
+# Clenshaw cost on a 12.6 MP frame is linear in M (28 ms at 257 -> ~7 ms).
+CHEB_M = 65           # nodes == series length
 
 def _cheb_static(M: int = CHEB_M):
     """Static Chebyshev machinery in curve-index ('pos') space: node
