@@ -135,3 +135,58 @@ def test_fbi_net_blind_spot():
     x2 = x.at[0, 8, 8, 0].add(10.0)
     y1 = np.asarray(model.apply(params, x2))
     assert abs(y1[0, 8, 8, 0] - y0[0, 8, 8, 0]) < 1e-5
+
+
+def test_cbam_maskmul_upsample_blocks():
+    """Inventory-parity modules (reference modules.py:290-417): CBAM gates
+    preserve shape and stay in (0, x); mask_mul pools and multiplies;
+    UpsampleBlock doubles spatial dims in both modes."""
+    import jax
+    import jax.numpy as jnp
+    from yondx.models.blocks import CBAM, mask_mul, UpsampleBlock
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, 16, 16, 32))
+
+    cbam = CBAM()
+    params = cbam.init(rng, x)
+    y = cbam.apply(params, x)
+    assert y.shape == x.shape
+    assert float(jnp.max(jnp.abs(y))) <= float(jnp.max(jnp.abs(x)))
+
+    mask = jax.random.uniform(rng, (2, 32, 32, 1))
+    out = mask_mul(x, mask, scale_factor=2)
+    assert out.shape == x.shape
+
+    for mode in ("bilinear", "pixel_shuffle"):
+        up = UpsampleBlock(16, up_scale=2, mode=mode)
+        p = up.init(rng, x)
+        y = up.apply(p, x)
+        assert y.shape[1:3] == (32, 32), mode
+        assert float(jnp.min(y)) >= 0.0  # relu
+
+
+def test_initialize_weights_reference_init():
+    """N(0, 0.02) conv init (archs/__init__.py:10-17): kernels and conv
+    biases are redrawn with the right scale; deconv biases untouched."""
+    import jax
+    import numpy as np
+    from yondx.models import build_model
+    from yondx.models.registry import init_params, initialize_weights
+    arch = {"name": "GuidedResUnet", "guided": True, "in_nc": 4,
+            "out_nc": 4, "nf": 8, "nframes": 1, "res": True, "norm": True}
+    model = build_model(arch)
+    params = init_params(model, jax.random.PRNGKey(0), (1, 32, 32, 4))
+    newp = initialize_weights(params, jax.random.PRNGKey(1))
+    unet = newp["params"]["unet"]
+    k = np.asarray(unet["conv1"]["conv1"]["kernel"])
+    assert abs(k.std() - 0.02) < 0.004
+    assert abs(np.asarray(unet["conv1"]["conv1"]["bias"]).std() - 0.02) < 0.02
+    # deconv bias untouched (flax zeros)
+    assert np.all(np.asarray(unet["upv6"]["deconv"]["bias"]) == 0)
+    # deconv kernel redrawn
+    assert abs(np.asarray(unet["upv6"]["deconv"]["kernel"]).std() - 0.02) \
+        < 0.004
+    # forward still works
+    import jax.numpy as jnp
+    y = model.apply(newp, jnp.zeros((1, 32, 32, 4)), jnp.ones((1,)))
+    assert np.isfinite(np.asarray(y)).all()

@@ -9,7 +9,8 @@ from .bayer import (
     bayer2rggb, rggb2bayer, bayer_aug, rot_bayer_k, rot_bayer, flip_bayer,
     bayer2rows, rows2bayer, bayer2gray,
 )
-from .render import fast_isp, simple_isp, process_rggb, process_sidd_image
+from .render import (fast_isp, simple_isp, process_rggb,
+                     process_sidd_image, raw2rgb_rawpy)
 from .metadata import read_sidd_metadata
 from .filters import (
     guided_filter, fast_guided_filter, bilateral_1d, row_denoise,
@@ -24,6 +25,7 @@ __all__ = [
     "bayer2rggb", "rggb2bayer", "bayer_aug", "rot_bayer_k", "rot_bayer",
     "flip_bayer", "bayer2rows", "rows2bayer", "bayer2gray",
     "fast_isp", "simple_isp", "process_rggb", "process_sidd_image",
+    "raw2rgb_rawpy",
     "read_sidd_metadata",
     "guided_filter", "fast_guided_filter", "bilateral_1d", "row_denoise",
     "blur1d_log",

@@ -87,6 +87,48 @@ def simple_isp(rggb: np.ndarray, bl=512, wp=16383, wb=(2, 1, 1, 2),
     return raw ** (1 / gamma)
 
 
+def raw2rgb_rawpy(packed_raw, raw=None, wb=None, ccm=None,
+                  template: str | None = None):
+    """LibRaw template render (reference raw2rgb_rawpy, isp_ops.py:199-232):
+    write the packed RGBG planes (or a bare bayer frame) into a template
+    raw file's visible area and run rawpy.postprocess with the camera (or
+    given) wb/ccm. Gated: the rawpy wheel is absent from this image.
+
+    packed_raw: [h, w, 4] RGBG planes in [0, 1], or [H, W] bayer DN.
+    template: path to a .dng/.ARW template (the reference hardcodes
+    'templet.dng' for >1500-px-wide frames, else 'templet.ARW')."""
+    try:
+        import rawpy
+    except ImportError as e:
+        raise ImportError(
+            "raw2rgb_rawpy needs rawpy/LibRaw which is not available in "
+            "this environment; use process_sidd_image/fast_isp for "
+            "template-free renders") from e
+    from .raw_io import bayer2raw
+    if raw is None:
+        if template is None:
+            big = packed_raw.shape[-2] > 1500
+            template = "templet.dng" if big else "templet.ARW"
+        raw = rawpy.imread(template)
+        wp, bl = (1023, 64) if template.endswith(".dng") else (16383, 512)
+    else:
+        wp, bl = 1023, 64
+    if wb is None:
+        wb = np.array(raw.camera_whitebalance, np.float64)
+        wb = wb / wb[1]
+    wb = list(np.asarray(wb).reshape(-1))
+    if ccm is not None and np.max(np.abs(np.asarray(ccm) - np.eye(3))) == 0:
+        ccm = SONY_CCM  # the reference's SonyA7S2 fallback (isp_ops.py:222)
+    if np.asarray(packed_raw).ndim >= 3:
+        raw.raw_image_visible[:] = np.asarray(
+            bayer2raw(packed_raw, wp=wp, bl=bl))
+    else:
+        raw.raw_image_visible[:] = np.asarray(packed_raw)
+    return raw.postprocess(use_camera_wb=False, user_wb=wb, half_size=False,
+                           no_auto_bright=True, output_bps=8, bright=1,
+                           user_black=None, user_sat=None)
+
+
 def process_sidd_image(bayer: np.ndarray, bayer_2by2, wb, cst2,
                        save_file_rgb: str | None = None) -> np.ndarray:
     """SIDD render: bayer -> uint8 BGR sRGB (reference

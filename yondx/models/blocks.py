@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -177,6 +178,93 @@ class ResBlockSiLU(nn.Module):
         z = nn.silu(z)
         z = conv3x3(self.features, self.dtype, name="conv2")(z)
         return z + x
+
+
+class ChannelAttention(nn.Module):
+    """Squeeze-excite channel gate (reference modules.py:290-307): shared
+    bias-free 1x1 MLP over both avg- and max-pooled descriptors, sigmoid."""
+    ratio: int = 16
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        mlp_in = nn.Dense(max(c // self.ratio, 1), use_bias=False,
+                          dtype=self.dtype, name="mlp_in")
+        mlp_out = nn.Dense(c, use_bias=False, dtype=self.dtype,
+                           name="mlp_out")
+        avg = jnp.mean(x, axis=(-3, -2))
+        mx = jnp.max(x, axis=(-3, -2))
+        gate = mlp_out(nn.relu(mlp_in(avg))) + mlp_out(nn.relu(mlp_in(mx)))
+        return nn.sigmoid(gate)[..., None, None, :]
+
+
+class SpatialAttention(nn.Module):
+    """Spatial gate (reference modules.py:309-326): conv over the
+    channel-mean/max pair, sigmoid."""
+    kernel_size: int = 3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        h = jnp.concatenate([avg, mx], axis=-1)
+        h = nn.Conv(1, (self.kernel_size, self.kernel_size), padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="conv")(h)
+        return nn.sigmoid(h)
+
+
+class CBAM(nn.Module):
+    """Convolutional block attention (reference modules.py:327-335):
+    channel gate then spatial gate. Not used by any registry model (same
+    as the reference); provided for inventory parity / custom archs."""
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = ChannelAttention(dtype=self.dtype, name="ca")(x) * x
+        return SpatialAttention(dtype=self.dtype, name="sa")(x) * x
+
+
+def mask_mul(x, mask, scale_factor: int = 1):
+    """Masked feature gating (reference MaskMul, modules.py:337-346):
+    channel-mean the mask if widths differ, avg-pool it down by
+    scale_factor, multiply."""
+    if mask.shape[-1] != x.shape[-1]:
+        mask = jnp.mean(mask, axis=-1, keepdims=True)
+    if scale_factor > 1:
+        mask = nn.avg_pool(mask, (scale_factor, scale_factor),
+                           strides=(scale_factor, scale_factor))
+    return x * mask
+
+
+class UpsampleBlock(nn.Module):
+    """conv -> upsample -> relu (reference UpsampleBLock,
+    modules.py:348-367): mode 'pixel_shuffle' (conv to c*r^2 then
+    depth-to-space) or 'bilinear' (conv then bilinear resize)."""
+    features: int
+    up_scale: int = 2
+    mode: str = "bilinear"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.up_scale
+        if self.mode == "pixel_shuffle":
+            c = x.shape[-1]
+            h = conv3x3(c * r * r, self.dtype, name="conv")(x)
+            B, H, W, _ = h.shape
+            h = h.reshape(B, H, W, r, r, c)
+            h = jnp.transpose(h, (0, 1, 3, 2, 4, 5)).reshape(
+                B, H * r, W * r, c)
+        elif self.mode == "bilinear":
+            h = conv3x3(self.features, self.dtype, name="conv")(x)
+            B, H, W, C = h.shape
+            h = jax.image.resize(h, (B, H * r, W * r, C), method="bilinear")
+        else:
+            raise NotImplementedError(self.mode)
+        return nn.relu(h)
 
 
 class PReLU(nn.Module):

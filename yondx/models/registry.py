@@ -60,5 +60,28 @@ def init_params(model, rng, input_shape: Tuple[int, ...],
     return model.init(rng, x)
 
 
+def initialize_weights(params, rng, std: float = 0.02):
+    """Reference N(0, 0.02) init (archs/__init__.py:10-17, applied to a
+    freshly-built net by trainer_AWGN.py:33): every Conv2d weight AND bias
+    ~ N(0, std); ConvTranspose2d weights too (their biases untouched). The
+    reference's FiLM 1x1 convs are Dense layers here — same treatment
+    (kernel rank 2). Non-conv leaves (PReLU alphas, norms) are untouched."""
+    import jax
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in leaves:
+        names = [str(getattr(p, "key", p)) for p in path]
+        last = names[-1] if names else ""
+        is_deconv = any("deconv" in n for n in names)
+        rng, sub = jax.random.split(rng)
+        if last == "kernel":
+            out.append(jax.random.normal(sub, leaf.shape, leaf.dtype) * std)
+        elif last == "bias" and not is_deconv:
+            out.append(jax.random.normal(sub, leaf.shape, leaf.dtype) * std)
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def param_count(params) -> int:
     return int(sum(np.prod(p.shape) for p in jax.tree.leaves(params)))

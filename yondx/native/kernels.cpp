@@ -304,4 +304,113 @@ void bm3d_ht_f32(const float* src, float* dst, int H, int W, float sigma,
     dst[i] = den[i] > 0 ? num[i] / den[i] : src[i];
 }
 
+// Wiener refinement stage (the second half of full BM3D): block matching
+// runs on the hard-threshold pilot estimate; groups are built from BOTH
+// the pilot and the noisy image; the 3-D spectrum of the noisy group is
+// shrunk by the empirical Wiener attenuation w = p^2 / (p^2 + sigma^2)
+// computed from the pilot spectrum; aggregation weight = 1 / sum(w^2).
+void bm3d_wiener_f32(const float* noisy, const float* pilot, float* dst,
+                     int H, int W, float sigma) {
+  using namespace bm3d_detail;
+  std::vector<float> num((size_t)H * W, 0.f), den((size_t)H * W, 0.f);
+  const int ny = (H - B) / STEP + 1;
+  const int nx = (W - B) / STEP + 1;
+  const float s2 = sigma * sigma;
+
+  std::vector<float> group_n(GMAX * B * B), group_p(GMAX * B * B);
+
+  for (int by = 0; by < ny; ++by) {
+    int y0 = std::min(by * STEP, H - B);
+    for (int bx = 0; bx < nx; ++bx) {
+      int x0 = std::min(bx * STEP, W - B);
+      struct Cand { float d; int y, x; };
+      std::vector<Cand> cands;
+      for (int dy = -WIN; dy <= WIN; dy += 2) {
+        int yy = y0 + dy;
+        if (yy < 0 || yy + B > H) continue;
+        for (int dx = -WIN; dx <= WIN; dx += 2) {
+          int xx = x0 + dx;
+          if (xx < 0 || xx + B > W) continue;
+          float d = 0.f;
+          for (int i = 0; i < B; ++i)
+            for (int j = 0; j < B; ++j) {
+              float t = pilot[(size_t)(y0 + i) * W + x0 + j] -
+                        pilot[(size_t)(yy + i) * W + xx + j];
+              d += t * t;
+            }
+          cands.push_back({d, yy, xx});
+        }
+      }
+      int G = std::min<int>(GMAX, (int)cands.size());
+      std::partial_sort(cands.begin(), cands.begin() + G, cands.end(),
+                        [](const Cand& a, const Cand& b) { return a.d < b.d; });
+      int g = 1;
+      while (g * 2 <= G) g *= 2;
+      G = g;
+      for (int m = 0; m < G; ++m) {
+        float* bn = group_n.data() + m * B * B;
+        float* bp = group_p.data() + m * B * B;
+        for (int i = 0; i < B; ++i)
+          for (int j = 0; j < B; ++j) {
+            size_t idx = (size_t)(cands[m].y + i) * W + cands[m].x + j;
+            bn[i * B + j] = noisy[idx];
+            bp[i * B + j] = pilot[idx];
+          }
+        dct2d(bn);
+        dct2d(bp);
+      }
+      float wsum2 = 0.f;
+      std::vector<float> spec_n(G), spec_p(G);
+      for (int p = 0; p < B * B; ++p) {
+        for (int m = 0; m < G; ++m) {
+          spec_n[m] = group_n[m * B * B + p];
+          spec_p[m] = group_p[m * B * B + p];
+        }
+        for (int len = G; len > 1; len /= 2) {
+          std::vector<float> tn(len), tp(len);
+          for (int i = 0; i < len / 2; ++i) {
+            tn[i] = (spec_n[2 * i] + spec_n[2 * i + 1]) * (float)M_SQRT1_2;
+            tn[len / 2 + i] =
+                (spec_n[2 * i] - spec_n[2 * i + 1]) * (float)M_SQRT1_2;
+            tp[i] = (spec_p[2 * i] + spec_p[2 * i + 1]) * (float)M_SQRT1_2;
+            tp[len / 2 + i] =
+                (spec_p[2 * i] - spec_p[2 * i + 1]) * (float)M_SQRT1_2;
+          }
+          std::copy(tn.begin(), tn.end(), spec_n.begin());
+          std::copy(tp.begin(), tp.end(), spec_p.begin());
+        }
+        for (int m = 0; m < G; ++m) {
+          float p2 = spec_p[m] * spec_p[m];
+          float w = p2 / (p2 + s2);
+          spec_n[m] *= w;
+          wsum2 += w * w;
+        }
+        for (int len = 2; len <= G; len *= 2) {
+          std::vector<float> tn(len);
+          for (int i = 0; i < len / 2; ++i) {
+            tn[2 * i] = (spec_n[i] + spec_n[len / 2 + i]) * (float)M_SQRT1_2;
+            tn[2 * i + 1] =
+                (spec_n[i] - spec_n[len / 2 + i]) * (float)M_SQRT1_2;
+          }
+          std::copy(tn.begin(), tn.end(), spec_n.begin());
+        }
+        for (int m = 0; m < G; ++m) group_n[m * B * B + p] = spec_n[m];
+      }
+      float w = wsum2 > 0.f ? 1.0f / wsum2 : 1.0f;
+      for (int m = 0; m < G; ++m) {
+        float* blk = group_n.data() + m * B * B;
+        idct2d(blk);
+        for (int i = 0; i < B; ++i)
+          for (int j = 0; j < B; ++j) {
+            size_t idx = (size_t)(cands[m].y + i) * W + cands[m].x + j;
+            num[idx] += w * blk[i * B + j];
+            den[idx] += w;
+          }
+      }
+    }
+  }
+  for (size_t i = 0; i < (size_t)H * W; ++i)
+    dst[i] = den[i] > 0 ? num[i] / den[i] : pilot[i];
+}
+
 }  // extern "C"

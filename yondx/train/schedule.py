@@ -53,12 +53,14 @@ def lr_lambda_from_hyper(hyper: Dict) -> Callable[[int], float]:
     coldstart = hyper.get("coldstart", True)
     name = hyper.get("lr_scheduler", "WarmupCosine").lower()
     lr = hyper["learning_rate"]
+    # debug/tiny runs can make num_epochs < T; a 0 period would divide by 0
+    period = max(num_epochs // T, 1)
     if "cos" in name:
-        return lambda e: get_cos_lr(e, period=num_epochs // T, lr=lr,
+        return lambda e: get_cos_lr(e, period=period, lr=lr,
                                     peak=step_size, coldstart=coldstart)
     if "multi" in name:
         return lambda e: get_multistep_lr(
-            e, period=num_epochs // T, decay_base=1,
+            e, period=period, decay_base=1,
             milestone=[step_size, step_size * 9 // 5], gamma=[0.5, 0.1],
             lr=lr)
     return lambda e: lr

@@ -83,6 +83,10 @@ class AWGNTrainer:
         self.params = init_params(self.model, jax.random.PRNGKey(0),
                                   (1, net_ps, net_ps, self.arch["in_nc"]),
                                   guided=self.guided)
+        # reference conv init N(0, 0.02) on fresh nets (trainer_AWGN.py:33);
+        # a resume below overwrites it from the checkpoint
+        from ..models.registry import initialize_weights
+        self.params = initialize_weights(self.params, jax.random.PRNGKey(42))
 
         self.lr_fn = lr_lambda_from_hyper(self.hyper)
         self.tx = optax.inject_hyperparams(optax.adam)(
@@ -239,6 +243,13 @@ class AWGNTrainer:
             ds = SyntheticSRGBDataset(length=n,
                                       size=dst.get("patch_size", 256),
                                       seed=1997 if mode == "train" else 2024)
+        # debug/tiny datasets: never let the batch exceed the dataset (a
+        # too-large batch would yield ZERO steps per epoch); keep it a
+        # multiple of the mesh size for shard_batch
+        n_dev = int(self.mesh.devices.size)
+        bs = max(1, min(bs, len(ds)))
+        if bs % n_dev:
+            bs = max(n_dev, bs - bs % n_dev)
         return BatchLoader(ds, bs, shuffle=(mode == "train"),
                            seed=self.hyper.get("seed", 0))
 
@@ -287,7 +298,8 @@ class AWGNTrainer:
             del ema_params
             import gc
             gc.collect()
-            runtime["total"] = runtime["dataloader"] + runtime["net"]
+            runtime["total"] = max(runtime["dataloader"] + runtime["net"],
+                                   1e-9)
             log(f"Epoch {epoch}: lr={lr_value:.2e} "
                 f"PSNR={self.train_psnr.avg:.2f} "
                 f"loader={100 * runtime['dataloader'] / runtime['total']:.0f}% "
