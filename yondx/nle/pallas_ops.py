@@ -97,7 +97,7 @@ def _pallas_moments_planes(x, k: int, inner: int, band: int = 128,
     mean, var, tex = pl.pallas_call(
         kern,
         grid=(C, nb),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[pl.BlockSpec((1, band, WP), lambda c, i: (c, i, 0),
                                 memory_space=pltpu.VMEM)] * 3,
         out_shape=[jax.ShapeDtypeStruct((C, Hp, WP), jnp.float32)] * 3,
