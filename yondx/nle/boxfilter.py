@@ -95,18 +95,55 @@ def varfilt(x, k: int):
     Computed on globally-centered data (mathematically identical — variance
     is shift-invariant — but numerically far better in fp32: E[x^2] and
     E[x]^2 of centered data are small, so their difference doesn't cancel).
+    x and x^2 ride ONE stacked filter pass (channel concat) so the pad +
+    prefix-sum chains run once.
     """
-    c = jnp.mean(x, axis=(-3, -2) if x.ndim >= 3 else (-2, -1),
-                 keepdims=True)
+    if x.ndim == 2:
+        x = x[..., None]
+        squeeze = True
+    else:
+        squeeze = False
+    c = jnp.mean(x, axis=(-3, -2), keepdims=True)
     xc = x - c
-    m = box_mean(xc, k)
-    m2 = box_mean(xc * xc, k)
-    return m2 - m * m
+    both = _box2d(jnp.concatenate([xc, xc * xc], axis=-1), k)
+    n = x.shape[-1]
+    m, m2 = both[..., :n], both[..., n:]
+    out = m2 - m * m
+    return out[..., 0] if squeeze else out
 
 
 def stdfilt(x, k: int):
     """Local std sqrt(max(var, 0)) (reference stdfilt, isp_algos.py:234)."""
     return jnp.sqrt(jnp.maximum(varfilt(x, k), 0.0))
+
+
+def mean_varfilt(x, k: int):
+    """(mean_k, var_k) of [..., h, w, C] with x and x^2 sharing one
+    centered stacked box pass."""
+    c = jnp.mean(x, axis=(-3, -2), keepdims=True)
+    xc = x - c
+    n = x.shape[-1]
+    both = _box2d(jnp.concatenate([xc, xc * xc], axis=-1), k)
+    m, m2 = both[..., :n], both[..., n:]
+    return m + c, jnp.maximum(m2 - m * m, 0.0)
+
+
+def nle_moments(x, k: int, inner: int):
+    """(mean_k, var_k, texture) of [..., h, w, C] in three stacked box
+    passes — the SelfNLF statistics (YOND_SIDD.py:66-71) with x/x^2 (and
+    t1/t1^2) sharing one prefix-sum chain each:
+      mean    = blur_k(x)
+      var     = blur_k(x^2) - mean^2        (centered internally)
+      texture = stdfilt_k(blur_inner(x))
+    Identical results to the box_mean/stdfilt composition."""
+    mean, var = mean_varfilt(x, k)
+    c = jnp.mean(x, axis=(-3, -2), keepdims=True)
+    t1 = _box2d(x - c, inner)
+    n = x.shape[-1]
+    tb = _box2d(jnp.concatenate([t1, t1 * t1], axis=-1), k)
+    tm, tm2 = tb[..., :n], tb[..., n:]
+    tex = jnp.sqrt(jnp.maximum(tm2 - tm * tm, 0.0))
+    return mean, var, tex
 
 
 def var_corr(x, k: int):

@@ -19,7 +19,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .boxfilter import box_mean, stdfilt
+from .boxfilter import (box_mean, stdfilt, nle_moments, mean_varfilt,
+                        varfilt)
 from .threshold import score3_threshold_with_p25
 from .fit import masked_linefit, nonsat_weights
 
@@ -48,10 +49,7 @@ def self_nlf(lr_rggb, k: int = 29, step: int = 5):
     local mean from blur(k), texture map = stdfilt(blur(img, 2k//3+1), k).
     """
     lr = lr_rggb.astype(jnp.float32)
-    std_k = stdfilt(lr, k)
-    mean = box_mean(lr, k)
-    texture = stdfilt(box_mean(lr, k // 3 * 2 + 1), k)
-    var = std_k * std_k
+    mean, var, texture = nle_moments(lr, k, k // 3 * 2 + 1)
     return _flat_mask_and_fit(var, mean, texture, step)
 
 
@@ -65,11 +63,10 @@ def collab_nlf(lr_rggb, dn_rggb, k: int = 29, step: int = 5):
     """
     lr = lr_rggb.astype(jnp.float32)
     dn = dn_rggb.astype(jnp.float32)
-    lr_k = stdfilt(lr, k)
-    dn_k = stdfilt(dn, k)
-    var = lr_k * lr_k - dn_k * dn_k
-    mean = box_mean(dn, k)
-    return _flat_mask_and_fit(var, mean, dn_k, step)
+    lr_var = jnp.maximum(varfilt(lr, k), 0.0)
+    mean, dn_var = mean_varfilt(dn, k)
+    var = lr_var - dn_var
+    return _flat_mask_and_fit(var, mean, jnp.sqrt(dn_var), step)
 
 
 def simple_nlf(lr_bayer, hr_bayer=None, k: int = 29, mode: str = "self"):

@@ -27,7 +27,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..nle.boxfilter import box_mean, stdfilt
 from ..nle.threshold import score3_threshold_with_p25
 from ..nle.fit import masked_linefit, nonsat_weights
 from ..vst import vst, inverse_vst
@@ -178,19 +177,19 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             return _nlf_core(var_lr - var_dn, mean_dn,
                              jnp.sqrt(var_dn), step, th_impl, th_subsample)
     else:
+        from ..nle.boxfilter import nle_moments, mean_varfilt, varfilt
+        inner = k // 3 * 2 + 1
+
         def self_est(x):
-            std_k = stdfilt(x, k)
-            mean = box_mean(x, k)
-            tex = stdfilt(box_mean(x, k // 3 * 2 + 1), k)
-            return _nlf_core(std_k * std_k, mean, tex, step, th_impl,
-                             th_subsample)
+            mean, var, tex = nle_moments(x, k, inner)
+            return _nlf_core(var, mean, tex, step, th_impl, th_subsample)
 
         def collab_est(lr, dn):
-            lr_k = stdfilt(lr, k)
-            dn_k = stdfilt(dn, k)
-            var = lr_k * lr_k - dn_k * dn_k
-            mean = box_mean(dn, k)
-            return _nlf_core(var, mean, dn_k, step, th_impl, th_subsample)
+            lr_var = jnp.maximum(varfilt(lr, k), 0.0)
+            mean_dn, dn_var = mean_varfilt(dn, k)
+            var = lr_var - dn_var
+            return _nlf_core(var, mean_dn, jnp.sqrt(dn_var), step, th_impl,
+                             th_subsample)
 
     def fused_body(rggb, scale):
         b1, b2 = self_est(rggb)
