@@ -7,6 +7,10 @@ reports per-iteration PSNR/SSIM — the stand-in for the SIDD 51.60 dB
 anchor while the real validation .mat files are unavailable.
 """
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -145,3 +145,27 @@ def test_self_nlf_matches_reference_pipeline():
     b1, b2 = self_nlf(jnp.asarray(noisy), k=29)
     np.testing.assert_allclose(float(b1), ref[0], rtol=1e-3, atol=1e-7)
     np.testing.assert_allclose(float(b2), ref[1], rtol=2e-3, atol=1e-8)
+
+
+def test_nle_moments_matches_composition():
+    """nle_moments / mean_varfilt (stacked single-pass stats) must equal
+    the box_mean/stdfilt composition they replaced on the hot path."""
+    import jax.numpy as jnp
+    from yondx.nle.boxfilter import (box_mean, stdfilt, nle_moments,
+                                     mean_varfilt, varfilt)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((2, 40, 56, 4)).astype(np.float32))
+    k, inner = 9, 7
+    mean, var, tex = nle_moments(x, k, inner)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(box_mean(x, k)),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(var),
+                               np.asarray(stdfilt(x, k)) ** 2, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(tex), np.asarray(stdfilt(box_mean(x, inner), k)),
+        atol=2e-6)
+    m2, v2 = mean_varfilt(x, k)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(mean), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(var), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(varfilt(x, k)),
+                               np.asarray(var), atol=1e-6)
