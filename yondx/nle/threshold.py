@@ -101,6 +101,9 @@ def _blockwise_min_by_bucket(data, buckets, n_buckets: int,
     16.8 ms on 1.6M elements on the v5e vs 4.1 ms for this formulation;
     results are bit-identical (min is insensitive to order)."""
     n = data.shape[0]
+    # shrink the chunk for small inputs so padding stays bounded
+    while chunk > 8192 and chunk // 2 >= n:
+        chunk //= 2
     pad = (-n) % chunk
     dp = jnp.pad(data, (0, pad), constant_values=jnp.inf)
     bp = jnp.pad(buckets, (0, pad), constant_values=n_buckets)

@@ -117,10 +117,13 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
     batch_mode:
     - 'scene': the whole batch is ONE scene (e.g. SIDD's 32 crops) — one
       (K, sigma) pools statistics over all crops; regs [rounds, 2].
-    - 'frames': each batch element is an independent frame — the entire
-      pipeline is vmapped, per-frame NLE/params; regs [B, rounds, 2].
-      This is the serving-throughput mode: batched frames lift the UNet
-      out of its batch-1 utilization floor (~1.8x measured on v5e).
+    - 'frames': each batch element is an independent frame with its own
+      NLE/params; regs [B, rounds, 2]. Default (frames_sequential=True)
+      lax.map's the frames inside ONE dispatch: peak HBM stays at one
+      frame's working set (12.6 MP B=2 OOM'd under vmap) and the second
+      frame amortizes dispatch (B=2 x 12.6 MP measured 63.4 vs 57 MP/s
+      single-frame on v5e). frames_sequential=False vmaps instead (only
+      useful for small frames where batching lifts MXU utilization).
     """
     lut_dev = jnp.asarray(lut, jnp.float32)
     # exact sg>10 e- extension table (tiny: [1921, 65]); built/cached on
