@@ -107,6 +107,12 @@ class SIDDEvalHarness:
                 f"SSIM(sRGB)={rec['ssim_rgb'][-1]:.4f}",
                 logfile=self.logfile)
 
+    def _render_benchmark(self, name: str, raw_dns, lr, meta):
+        os.makedirs(self.sample_dir, exist_ok=True)
+        self._render_png(lr, meta, f"{name[:4]}_noisy.png")
+        for it, dn in enumerate(raw_dns):
+            self._render_png(dn, meta, f"{name[:4]}_{it}.png")
+
     def _render_png(self, crops, meta, fname: str) -> np.ndarray:
         """[32,256,256] crop stack -> 256x8192 bayer strip -> sRGB PNG
         (the reference renders the concatenated strip, YOND_SIDD.py:637)."""
@@ -135,6 +141,12 @@ class SIDDEvalHarness:
                 futures.append(pool.submit(
                     self._score_scene, name, res["raw_dns"], data["lr"],
                     data["hr"], data.get("meta")))
+            elif self.save_plot and data.get("meta") is not None:
+                # benchmark split (no GT): still render noisy/denoised PNGs
+                # (reference benchmark, YOND_SIDD.py:572-630)
+                futures.append(pool.submit(
+                    self._render_benchmark, name, res["raw_dns"],
+                    data["lr"], data["meta"]))
             if self.cache_npy:
                 os.makedirs(f"npy/{self.method_name}", exist_ok=True)
                 np.save(f"npy/{self.method_name}/{k:03d}.npy",
