@@ -68,9 +68,9 @@ class SyntheticSRGBDataset:
         self._disk = None
         if cache and disk_cache:
             os.makedirs(disk_cache, exist_ok=True)
-            # v2: saturation-rich generator (cache key versioned)
+            # v3: adds block-mosaic charts (cache key versioned)
             path = os.path.join(disk_cache,
-                                f"v2_s{seed}_p{size}_n{length}.npy")
+                                f"v3_s{seed}_p{size}_n{length}.npy")
             if os.path.exists(path):
                 try:
                     self._disk = np.load(path, mmap_mode="r")
@@ -96,6 +96,29 @@ class SyntheticSRGBDataset:
     def _generate(self, idx: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 100003 + idx)
         S = self.size
+        # ~1 in 5 crops: a hard block-mosaic "chart" — adjoining flat
+        # rectangles spanning the full brightness range incl. saturated
+        # blocks next to dark ones. Real SIDD validation scenes are such
+        # charts; round-2 diagnosis showed the nets scored a content-
+        # dependent ~22 dB floor on this class at ANY sigma because the
+        # smooth-field generator never produced it.
+        if rng.random() < 0.2:
+            gy, gx = rng.integers(3, 9, 2)
+            levels = rng.random((gy, gx, 3)).astype(np.float32)
+            if rng.random() < 0.5:   # force saturated + near-black blocks
+                levels[rng.integers(gy), rng.integers(gx)] = 1.0
+                levels[rng.integers(gy), rng.integers(gx)] = 0.02
+            img = np.kron(levels, np.ones((-(-S // gy), -(-S // gx), 1),
+                                          np.float32))[:S, :S]
+            if rng.random() < 0.5:   # mild vignette so blocks aren't DC
+                yy, xx = np.mgrid[0:S, 0:S].astype(np.float32) / S - 0.5
+                img = img * (1.0 - 0.3 * rng.random()
+                             * (yy * yy + xx * xx))[..., None]
+            img = np.clip(img, 0.0, 1.0)
+            img = (img * 255.0 + 0.5).astype(np.uint8)
+            if self._cache is not None:
+                self._cache[idx] = img
+            return img
         img = np.zeros((S, S, 3), np.float32)
         # multi-octave smooth background per channel (Perlin-like)
         for c in range(3):
