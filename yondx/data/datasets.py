@@ -68,9 +68,9 @@ class SyntheticSRGBDataset:
         self._disk = None
         if cache and disk_cache:
             os.makedirs(disk_cache, exist_ok=True)
-            # v3: adds block-mosaic charts (cache key versioned)
+            # v4: block-mosaic charts incl. 2x2 grids (cache key versioned)
             path = os.path.join(disk_cache,
-                                f"v3_s{seed}_p{size}_n{length}.npy")
+                                f"v4_s{seed}_p{size}_n{length}.npy")
             if os.path.exists(path):
                 try:
                     self._disk = np.load(path, mmap_mode="r")
@@ -103,7 +103,7 @@ class SyntheticSRGBDataset:
         # dependent ~22 dB floor on this class at ANY sigma because the
         # smooth-field generator never produced it.
         if rng.random() < 0.2:
-            gy, gx = rng.integers(3, 9, 2)
+            gy, gx = rng.integers(2, 9, 2)
             levels = rng.random((gy, gx, 3)).astype(np.float32)
             if rng.random() < 0.5:   # force saturated + near-black blocks
                 levels[rng.integers(gy), rng.integers(gx)] = 1.0
