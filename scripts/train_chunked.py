@@ -44,19 +44,48 @@ if tr.epoch >= stop:
 """
 
 
+STALL_SECS = 600   # axon start-wedge: a client sometimes hangs on its
+                   # first dispatch (memory: axon-tunnel-pathologies);
+                   # kill + retry recovers
+
+
+def _run_chunk_with_watchdog():
+    import tempfile
+    import time
+    out = tempfile.NamedTemporaryFile(mode="w+", suffix=".log", delete=False)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", CHILD, RUNFILE, str(STOP), str(CHUNK)],
+        stdout=out, stderr=subprocess.STDOUT, text=True)
+    last_size, last_change = 0, time.time()
+    while proc.poll() is None:
+        time.sleep(15)
+        size = os.path.getsize(out.name)
+        if size != last_size:
+            last_size, last_change = size, time.time()
+        elif time.time() - last_change > STALL_SECS:
+            print(f"  [watchdog] no output for {STALL_SECS}s — killing "
+                  f"wedged chunk pid {proc.pid}", flush=True)
+            proc.kill()
+            proc.wait()
+            break
+    out.seek(0)
+    text = out.read()
+    out.close()
+    os.unlink(out.name)
+    return proc.returncode, text
+
+
 def main():
     for i in range(200):
-        proc = subprocess.run(
-            [sys.executable, "-c", CHILD, RUNFILE, str(STOP), str(CHUNK)],
-            capture_output=True, text=True)
-        tail = (proc.stdout + proc.stderr).strip().splitlines()[-6:]
-        print(f"[chunk {i}] rc={proc.returncode}", *tail, sep="\n  ",
-              flush=True)
-        if "DONE" in proc.stdout:
+        rc, text = _run_chunk_with_watchdog()
+        tail = text.strip().splitlines()[-6:]
+        print(f"[chunk {i}] rc={rc}", *tail, sep="\n  ", flush=True)
+        if "DONE" in text:
             break
-        if proc.returncode != 0 and "DONE" not in proc.stdout:
-            # crashed chunk: resume anyway (checkpointed every 10 epochs)
-            continue
+        # crashed/wedged chunk: resume anyway (checkpointed every 10
+        # epochs); brief settle so the next client doesn't start-wedge
+        import time
+        time.sleep(30)
 
 
 if __name__ == "__main__":
