@@ -68,9 +68,9 @@ class SyntheticSRGBDataset:
         self._disk = None
         if cache and disk_cache:
             os.makedirs(disk_cache, exist_ok=True)
-            # v4: block-mosaic charts incl. 2x2 grids (cache key versioned)
+            # v5: 35% chart fraction (cache key versioned)
             path = os.path.join(disk_cache,
-                                f"v4_s{seed}_p{size}_n{length}.npy")
+                                f"v5_s{seed}_p{size}_n{length}.npy")
             if os.path.exists(path):
                 try:
                     self._disk = np.load(path, mmap_mode="r")
@@ -102,7 +102,7 @@ class SyntheticSRGBDataset:
         # charts; round-2 diagnosis showed the nets scored a content-
         # dependent ~22 dB floor on this class at ANY sigma because the
         # smooth-field generator never produced it.
-        if rng.random() < 0.2:
+        if rng.random() < 0.35:
             gy, gx = rng.integers(2, 9, 2)
             levels = rng.random((gy, gx, 3)).astype(np.float32)
             if rng.random() < 0.5:   # force saturated + near-black blocks
