@@ -83,6 +83,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--content", default="flat",
                     choices=["flat", "texture"])
+    ap.add_argument("--heldout", action="store_true",
+                    help="run the frozen generator-disjoint suite "
+                         "(yondx.eval.heldout) instead of ad-hoc scenes")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -103,6 +106,11 @@ def main():
                       vst_type="exact")
     eng = YONDEngine(den, PipelineConfig(est_type="simple", max_iter=1),
                      biaslut=BiasLUT())
+
+    if args.heldout:
+        from yondx.eval.heldout import run_heldout
+        run_heldout(eng)
+        return
 
     stats = {0: [], 1: []}
     ssims = {0: [], 1: []}

@@ -42,9 +42,34 @@ def test_sharded_self_nlf_close_to_single_device():
     b1_ref, b2_ref = self_nlf(jnp.asarray(noisy), k=29)
     xs = shard_batch(mesh, noisy)
     b1, b2 = sharded_self_nlf(mesh, xs, k=29)
-    # histogram threshold is approximate; betas must agree closely
-    assert abs(float(b1) - float(b1_ref)) < 0.3 * abs(float(b1_ref)) + 1e-5
-    assert abs(float(b2) - float(b2_ref)) < 0.5 * abs(float(b2_ref)) + 1e-5
+    # the psum'd log-histogram quantiles are ~1e-4-relative vs the exact
+    # sort; the product gate is 1% (VERDICT r2 #5)
+    assert abs(float(b1) - float(b1_ref)) < 0.01 * abs(float(b1_ref)) + 1e-7
+    assert abs(float(b2) - float(b2_ref)) < 0.01 * abs(float(b2_ref)) + 1e-7
+
+
+@pytest.mark.slow
+def test_sharded_self_nlf_realistic_frame_1pct():
+    """12.6 MP frame (the bench-class size), 8-way sharded: betas within
+    1% relative of the single-device path (VERDICT r2 #5 'realistic
+    frame' gate)."""
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(11)
+    beta1, beta2 = 8e-3, 3e-5
+    # block mosaic + smooth gradient: flats at many brightness levels
+    levels = rng.random((8, 8)) * 0.85 + 0.03
+    clean = np.kron(levels, np.ones((224, 224)))
+    yy = np.linspace(0, 1, clean.shape[0])[:, None]
+    clean = np.clip(clean * (0.7 + 0.3 * yy), 0, 1)
+    noisy = clean + rng.normal(0, np.sqrt(beta1 * clean + beta2),
+                               clean.shape)
+    rggb = np.clip(noisy, 0, 1)[..., None].repeat(4, -1).astype(np.float32)
+    # H=1792 /8 -> 224 rows per shard (> halo 29)
+    b1_ref, b2_ref = self_nlf(jnp.asarray(rggb), k=29)
+    xs = shard_batch(mesh, rggb)
+    b1, b2 = sharded_self_nlf(mesh, xs, k=29)
+    assert abs(float(b1) - float(b1_ref)) < 0.01 * abs(float(b1_ref))
+    assert abs(float(b2) - float(b2_ref)) < 0.01 * abs(float(b2_ref)) + 1e-7
 
 
 def test_spatial_denoise_sharded_matches_single_device():

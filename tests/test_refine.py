@@ -1,0 +1,94 @@
+"""Method-noise Wiener refinement (yondx/pipeline/refine.py) and the
+frozen held-out suite (yondx/eval/heldout.py)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from yondx.pipeline.refine import wiener_refine
+from yondx.nle.boxfilter import box_mean
+
+
+def _mse(a, b):
+    return float(jnp.mean((jnp.asarray(a) - jnp.asarray(b)) ** 2))
+
+
+class TestWienerRefine:
+    def _scene(self, rng, H=192, W=192):
+        """Textured clean signal (the class an over-smoother destroys)."""
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        z = (0.5 + 0.2 * np.sin(xx * 0.5) * np.cos(yy * 0.3)
+             + 0.1 * np.sin((xx + yy) * 0.9))
+        return z[..., None].astype(np.float32)
+
+    def test_beats_oversmoothing_denoiser(self):
+        """out MSE < min(MSE_dn, MSE_noisy) when the 'denoiser' is an
+        aggressive blur at LOW noise — the do-no-harm regime."""
+        rng = np.random.default_rng(0)
+        clean = self._scene(rng)
+        nsr = 0.02                       # low noise: blur destroys texture
+        noisy = clean + rng.normal(0, nsr, clean.shape).astype(np.float32)
+        dn = np.asarray(box_mean(jnp.asarray(noisy), 9))
+        out = np.asarray(wiener_refine(jnp.asarray(dn), jnp.asarray(noisy),
+                                       noise_var=nsr ** 2))
+        assert _mse(dn, clean) > _mse(noisy, clean)   # blur does harm here
+        assert _mse(out, clean) < _mse(noisy, clean)  # refinement undoes it
+        assert _mse(out, clean) < 0.5 * _mse(dn, clean)
+
+    def test_keeps_good_denoiser(self):
+        """When the denoiser is near-oracle, refinement must not degrade
+        it back toward the noisy input (alpha ~ 0)."""
+        rng = np.random.default_rng(1)
+        clean = self._scene(rng)
+        nsr = 0.1
+        noisy = clean + rng.normal(0, nsr, clean.shape).astype(np.float32)
+        dn = clean + rng.normal(0, nsr * 0.05, clean.shape).astype(
+            np.float32)                   # near-perfect denoiser
+        out = np.asarray(wiener_refine(jnp.asarray(dn), jnp.asarray(noisy),
+                                       noise_var=nsr ** 2))
+        assert _mse(out, clean) < 1.3 * _mse(dn, clean)
+        assert _mse(out, clean) < 0.1 * _mse(noisy, clean)
+
+    def test_saturation_guard(self):
+        """alpha is forced to 0 where the intensity proxy is saturated —
+        clipped noise must not be blended back at the white point."""
+        rng = np.random.default_rng(2)
+        clean = np.full((64, 64, 1), 1.0, np.float32)
+        nsr = 0.05
+        noisy = np.clip(clean + rng.normal(0, nsr, clean.shape), 0, 1
+                        ).astype(np.float32)
+        dn = clean.copy()                 # oracle: exact white
+        out = np.asarray(wiener_refine(
+            jnp.asarray(dn), jnp.asarray(noisy), noise_var=nsr ** 2,
+            x01=jnp.asarray(dn)))
+        # clipped (half-)noise makes the residual power look like signal;
+        # without the guard alpha would blend the clipped noise back in
+        assert _mse(out, clean) < 1e-8
+
+    def test_identity_when_input_equals_output(self):
+        z = jnp.asarray(np.random.default_rng(3).random((32, 32, 4)),
+                        jnp.float32)
+        out = wiener_refine(z, z, noise_var=0.01)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(z), atol=0)
+
+
+class TestHeldoutSuite:
+    def test_scene_construction_frozen(self):
+        """Scenes are deterministic: same spec -> identical pixels."""
+        from yondx.eval.heldout import HELDOUT_SCENES, build_scene
+        spec = HELDOUT_SCENES[0]
+        c1, n1 = build_scene(spec, n_crops=1)
+        c2, n2 = build_scene(spec, n_crops=1)
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(n1, n2)
+
+    def test_suite_covers_bands_and_disjoint_probe(self):
+        from yondx.eval.heldout import HELDOUT_SCENES
+        names = {s.name for s in HELDOUT_SCENES}
+        assert any(n.endswith("_lo") for n in names)
+        assert any(n.endswith("_mid") for n in names)
+        assert "satdisk_lo" in names and "satdisk_mid" in names
+        # the chart anchor is present but flagged out of the held-out mean
+        anchor = [s for s in HELDOUT_SCENES if s.name == "chart_anchor"]
+        assert anchor and not anchor[0].heldout
+        held = [s for s in HELDOUT_SCENES if s.heldout]
+        assert len(held) >= 12

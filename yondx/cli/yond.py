@@ -134,9 +134,14 @@ class YOND:
             self.denoiser = BM3DVSTDenoiser(bias_corr=self.pipe.bias_corr,
                                             vst_type=self.pipe.vst_type)
         else:
+            # `refine: true` in the pipeline block enables the method-
+            # noise Wiener post-refinement (yondx-only extension beyond
+            # the reference's pipeline keys; see pipeline/refine.py)
             self.denoiser = VSTDenoiser(
                 self.model, self.params, guided=is_guided(self.arch),
-                bias_corr=self.pipe.bias_corr, vst_type=self.pipe.vst_type)
+                bias_corr=self.pipe.bias_corr, vst_type=self.pipe.vst_type,
+                refine=bool(self.pipe.extras.get("refine", False)),
+                refine_floor=self.pipe.extras.get("refine_floor", "local"))
         self.engine = YONDEngine(self.denoiser, self.pipe,
                                  biaslut=BiasLUT(),
                                  est_models=self.est_models,

@@ -52,6 +52,65 @@ class NpyFolderDataset:
             return arr
         return arr.astype(np.float32) / 65535.0
 
+    # -- fast batched read path -------------------------------------------
+    # np.load costs ~0.5 ms/file of mostly GIL-held Python (open + header
+    # parse + alloc), so loader threads give ZERO aggregate speedup and an
+    # on-disk batch-64 corpus ate ~12% of a 0.29 s v5e step
+    # (scripts/bench_loader.py). Parsing every header ONCE here and then
+    # file.readinto()-ing straight into the caller's batch buffer drops
+    # the GIL-held work to the seek + slot addressing (~0.1 ms/file) and
+    # lets the page-cache copy overlap across threads.
+
+    def _probe_headers(self):
+        """One stat per file + a 16-file header sample: uniform corpora
+        (equal sizes, identical sampled headers) get a shared offset; the
+        full per-file parse would cost ~0.5 ms * N and, raced from the
+        loader pool, dominated the first epoch."""
+        from numpy.lib import format as npf
+        self._fast = False
+        sizes = {os.path.getsize(p) for p in self.paths}
+        if len(sizes) != 1:
+            return
+        n = len(self.paths)
+        sample = {0, n - 1, n // 2} | set(range(min(16, n)))
+        shape = dtype = off = None
+        for i in sorted(sample):
+            with open(self.paths[i], "rb") as f:
+                ver = npf.read_magic(f)
+                shp, fortran, dt = npf._read_array_header(f, ver)
+                if fortran:
+                    return
+                if shape is None:
+                    shape, dtype, off = shp, dt, f.tell()
+                elif (shp, dt, f.tell()) != (shape, dtype, off):
+                    return
+        self._offset = off
+        self.item_shape = shape
+        self.item_dtype = dtype
+        self._fast = np.dtype(dtype) == np.dtype(np.uint8)
+
+    def read_batch(self, idxs) -> Optional[np.ndarray]:
+        """Read items `idxs` into one freshly-allocated [B, ...] array via
+        readinto; returns None when the corpus is non-uniform (caller
+        falls back to per-item __getitem__)."""
+        if not hasattr(self, "_fast"):
+            import threading
+            lock = self.__dict__.setdefault("_probe_lock",
+                                            threading.Lock())
+            with lock:
+                if not hasattr(self, "_fast"):
+                    self._probe_headers()
+        if not self._fast or self._cache is not None:
+            return None
+        out = np.empty((len(idxs),) + tuple(self.item_shape),
+                       self.item_dtype)
+        flat = out.reshape(len(idxs), -1)
+        for j, i in enumerate(idxs):
+            with open(self.paths[int(i)], "rb") as f:
+                f.seek(self._offset)
+                f.readinto(memoryview(flat[j]).cast("B"))
+        return out
+
 
 class SyntheticSRGBDataset:
     """Procedural sRGB crops: multi-octave smooth fields + flat rectangles
@@ -269,6 +328,11 @@ class BatchLoader:
         return len(self.ds) // self.bs
 
     def _load_batch(self, idxs) -> np.ndarray:
+        rb = getattr(self.ds, "read_batch", None)
+        if rb is not None:
+            out = rb(idxs)
+            if out is not None:
+                return out
         return np.stack([self.ds[int(i)] for i in idxs])
 
     def epoch(self, epoch: int = 0) -> Iterator[np.ndarray]:

@@ -39,7 +39,9 @@ class VSTDenoiser:
 
     def __init__(self, model, params, *, guided: bool = True,
                  bias_corr: Optional[str] = "pre", vst_type: str = "exact",
-                 pad_base: int = 32, fbi: bool = False):
+                 pad_base: int = 32, fbi: bool = False,
+                 refine: bool = False, refine_k: int = 15,
+                 refine_beta: float = 1.0, refine_floor: str = "local"):
         """fbi=True selects the blind-spot-network variant (reference
         YOND_SIDD.py:266-279): normalization by the VST output's own
         min/max instead of [VST(0), VST(scale)], and the network consumes
@@ -51,6 +53,10 @@ class VSTDenoiser:
         self.vst_type = vst_type
         self.pad_base = pad_base
         self.fbi = fbi
+        self.refine = refine
+        self.refine_k = refine_k
+        self.refine_beta = refine_beta
+        self.refine_floor = refine_floor
         self.sigma_corr = 1.03 if bias_corr == "pre" else 1.00
         self.exact_inverse = bias_corr is None and vst_type == "exact"
         self._jit = jax.jit(self._denoise)
@@ -85,29 +91,55 @@ class VSTDenoiser:
             bay = rggb2bayer(z)[..., None]        # [B, H, W, 1]
             out = self.model.apply(self.params, jnp.clip(bay, 0.0, 1.0))
             z = bayer2rggb(jnp.clip(out, 0.0, 1.0)[..., 0])
+            z_raw = z
         else:
+            z_noisy = z
             z = self._net(z, nsr)
-        z = z * (upper - lower) + lower
-        x = inverse_vst(z, sigma, gain=K, exact=self.exact_inverse)
-        return jnp.clip(x / scale, 0.0, 1.0)
+            z_raw = z
+            if self.refine:
+                # method-noise Wiener blend (do-no-harm; see refine.py).
+                # noise std in these normalized coords = nsr; the denoised
+                # map doubles as the saturation-guard intensity proxy.
+                from .refine import wiener_refine
+                z = wiener_refine(z, z_noisy, noise_var=nsr ** 2,
+                                  k=self.refine_k, beta=self.refine_beta,
+                                  x01=z, noise_floor=self.refine_floor)
+
+        def finish(zz):
+            zz = zz * (upper - lower) + lower
+            xx = inverse_vst(zz, sigma, gain=K, exact=self.exact_inverse)
+            return jnp.clip(xx / scale, 0.0, 1.0)
+
+        # the raw (un-refined) output rides along: the collaborative NLE
+        # of the next round must see the net's own output (reference
+        # CollabNLF contract, YOND_SIDD.py:89-115) — the refined one has
+        # the method-noise residual blended back, which inflates
+        # stdfilt(dn) and destabilizes the round-2 fit (measured: it1
+        # below it0 on 4 held-out scenes before this split)
+        return finish(z), finish(z_raw)
 
     def __call__(self, lr_bayer, curve, K, sigma, scale):
+        return self.denoise_pair(lr_bayer, curve, K, sigma, scale)[0]
+
+    def denoise_pair(self, lr_bayer, curve, K, sigma, scale):
+        """-> (output, raw_net_output) bayer pair; they differ only when
+        refine=True (the engine feeds the raw one to CollabNLF)."""
         single = lr_bayer.ndim == 2
         if single:
             lr_bayer = lr_bayer[None]
         rggb = bayer2rggb(jnp.asarray(lr_bayer))
-        out = self._jit(rggb,
-                        jnp.asarray(curve, jnp.float32),
-                        jnp.float32(K), jnp.float32(sigma),
-                        jnp.float32(scale))
-        bayer = rggb2bayer(out)
-        return bayer[0] if single else bayer
+        out, raw = self._jit(rggb,
+                             jnp.asarray(curve, jnp.float32),
+                             jnp.float32(K), jnp.float32(sigma),
+                             jnp.float32(scale))
+        out, raw = rggb2bayer(out), rggb2bayer(raw)
+        return (out[0], raw[0]) if single else (out, raw)
 
     def denoise_rggb(self, rggb, curve, K, sigma, scale):
         """Packed-plane entry point (already [B, h, w, 4])."""
         return self._jit(rggb, jnp.asarray(curve, jnp.float32),
                          jnp.float32(K), jnp.float32(sigma),
-                         jnp.float32(scale))
+                         jnp.float32(scale))[0]
 
 
 class BM3DVSTDenoiser:

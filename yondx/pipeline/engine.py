@@ -132,7 +132,12 @@ class YONDEngine:
 
     # ------------------------------------------------------------ denoise
     def _denoise_round(self, lr, p, hr=None):
-        """One denoise pass over the crop batch / frame."""
+        """One denoise pass over the crop batch / frame.
+
+        Returns (output, raw_net_output): they differ only for a refining
+        VSTDenoiser — the raw one feeds the next round's CollabNLF
+        (reference contract: the collab proxy is the net's own output,
+        YOND_SIDD.py:89-115)."""
         # shot gain can self-estimate to ~0 on pure-Gaussian content; the
         # VST divides by it (isp_algos.py:9), so clamp defensively.
         p["gain"] = max(p["gain"], 1e-4)
@@ -141,10 +146,16 @@ class YONDEngine:
         x = jnp.asarray(lr, jnp.float32)
         if "rot_cfa" in p:
             x = rot_bayer(x, p["cfa"])
-        dn = self.denoiser(x, curve, p["gain"], p["sigma"], p["scale"])
+        pair = getattr(self.denoiser, "denoise_pair", None)
+        if pair is not None:
+            dn, dn_raw = pair(x, curve, p["gain"], p["sigma"], p["scale"])
+        else:
+            dn = self.denoiser(x, curve, p["gain"], p["sigma"], p["scale"])
+            dn_raw = dn
         if "rot_cfa" in p:
             dn = rot_bayer(dn, p["cfa"], rev=True)
-        return dn
+            dn_raw = rot_bayer(dn_raw, p["cfa"], rev=True)
+        return dn, dn_raw
 
     # -------------------------------------------------------------- main
     def iter_denoise(self, data: Dict[str, Any], p: Dict[str, Any],
@@ -198,13 +209,14 @@ class YONDEngine:
             return {"raw_dns": [dn], "regs": [(0.0, 0.0)]}
         regs.append(reg)
 
-        dn = np.asarray(self._denoise_round(lr, p))
+        dn, dn_raw = self._denoise_round(lr, p)
+        dn, dn_raw = np.asarray(dn), np.asarray(dn_raw)
         raw_dns = [dn.copy()]
 
         # ---- Rounds 2..max_iter: collaborative re-calibration
         if pipe.iter == "iter":
             for epoch in range(1, pipe.max_iter + 1):
-                reg = self._estimate_collab(lr, dn)
+                reg = self._estimate_collab(lr, dn_raw)
                 if reg[1] < 0:
                     log(f"Warning!!! b={reg[1]:.4f} is backup to "
                         f"{reg[0] ** 2:.4f}", logfile=self.logfile)
@@ -218,7 +230,8 @@ class YONDEngine:
                     log("Warning!!! Wrong noise level! Backup to iter_0 "
                         "result.", logfile=self.logfile)
                     break
-                dn = np.asarray(self._denoise_round(lr, p, hr=dn))
+                dn, dn_raw = self._denoise_round(lr, p, hr=dn)
+                dn, dn_raw = np.asarray(dn), np.asarray(dn_raw)
                 raw_dns.append(dn.copy())
                 regs.append(reg)
 

@@ -108,7 +108,10 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
                               th_impl: str = "sort",
                               th_subsample=None,
                               batch_mode: str = "scene",
-                              frames_sequential: bool = True):
+                              frames_sequential: bool = True,
+                              refine: bool = False, refine_k: int = 15,
+                              refine_beta: float = 1.0,
+                              refine_floor: str = "local"):
     """Build jit fn(rggb [B,h,w,4], scale) -> (dn [B,h,w,4], regs [...,2]).
 
     `lut` is captured as a device constant (8.5 MB, lives in HBM).
@@ -162,10 +165,24 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
         upper = vst(scale, sigma, gain=K)
         nsr = 1.0 / (upper - lower)
         z = (z - lower) * nsr
+        z_noisy = z
         z = net(z, nsr)
-        z = z * (upper - lower) + lower
-        xd = inverse_vst(z, sigma, gain=K, exact=exact_inverse)
-        return jnp.clip(xd / scale, 0.0, 1.0)
+        z_raw = z
+        if refine:
+            # method-noise Wiener blend (do-no-harm; see refine.py)
+            from .refine import wiener_refine
+            z = wiener_refine(z, z_noisy, noise_var=nsr ** 2,
+                              k=refine_k, beta=refine_beta, x01=z,
+                              noise_floor=refine_floor)
+
+        def finish(zz):
+            zz = zz * (upper - lower) + lower
+            xx = inverse_vst(zz, sigma, gain=K, exact=exact_inverse)
+            return jnp.clip(xx / scale, 0.0, 1.0)
+
+        # raw (un-refined) output rides along for the next round's collab
+        # NLE (XLA CSEs the duplicate inverse chain when refine=False)
+        return finish(z), finish(z_raw)
 
     if use_pallas_nle:
         from ..nle.pallas_ops import fused_moments
@@ -199,19 +216,23 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
         b1 = jnp.maximum(b1, 1e-4 / scale)  # defensive K clamp
         K0 = b1 * scale
         sig0 = jnp.sqrt(jnp.maximum(b2, 0.0)) * scale
-        dn0 = denoise(rggb, K0, sig0, scale)
+        dn, dn_raw = denoise(rggb, K0, sig0, scale)
 
-        dn = dn0
         regs = [jnp.stack([b1, b2])]
         for _ in range(max_iter):
-            c1, c2 = collab_est(rggb, dn)
+            # collab NLE sees the RAW net output (reference contract,
+            # YOND_SIDD.py:89-115) — the refined output has method-noise
+            # blended back, which inflates stdfilt(dn) and destabilizes
+            # the round-2 fit
+            c1, c2 = collab_est(rggb, dn_raw)
             # guard: beta2 < 0 -> beta1^2 (YOND_SIDD.py:438-440)
             c2 = jnp.where(c2 < 0, c1 ** 2, c2)
             ok = c1 > 0  # beta1 < 0 -> keep previous round (:445-447)
             K1 = jnp.maximum(c1, 1e-4 / scale) * scale
             sig1 = jnp.sqrt(c2) * scale
-            dn1 = denoise(rggb, K1, sig1, scale)
+            dn1, dn1_raw = denoise(rggb, K1, sig1, scale)
             dn = jnp.where(ok, dn1, dn)
+            dn_raw = jnp.where(ok, dn1_raw, dn_raw)
             regs.append(jnp.where(ok, jnp.stack([c1, c2]), regs[-1]))
         return dn, jnp.stack(regs)
 

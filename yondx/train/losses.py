@@ -68,6 +68,34 @@ def unet_loss(pred, target, charbonnier: bool = False,
     return fn(pred, target)
 
 
+def unet_dpsv_loss(preds, target, charbonnier: bool = False):
+    """Deep-supervision loss over a LIST of per-scale decoder outputs
+    (reference Unet_dpsv_Loss, base_loss.py:115-126): preds[i] is the
+    model head at scale 1/2^i (full-res first); targets are avg-pool-2
+    pyramid levels of `target`; the per-scale losses are SUMMED
+    (Pyramid_Loss rate=1, norm=False)."""
+    fn = charbonnier_loss if charbonnier else l1_loss
+    total, t = 0.0, target
+    for i, p in enumerate(preds):
+        if i > 0:
+            t = _down2(t)
+        total = total + fn(p, t)
+    return total
+
+
+def unet_dpsv_loss_up(preds, target, charbonnier: bool = False):
+    """Variant with TWO full-resolution heads before the pyramid tail
+    (reference Unet_dpsv_Loss_up, base_loss.py:128-139): targets are
+    [target, target, target/2, ...]."""
+    fn = charbonnier_loss if charbonnier else l1_loss
+    total, t = 0.0, target
+    for i, p in enumerate(preds):
+        if i > 1:
+            t = _down2(t)
+        total = total + fn(p, t)
+    return total
+
+
 def gan_loss(real_logits, fake_logits, kind: str = "RaSGAN",
              for_discriminator: bool = True):
     """Relativistic GAN loss family (reference GAN_Loss,
