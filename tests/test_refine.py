@@ -64,6 +64,39 @@ class TestWienerRefine:
         # without the guard alpha would blend the clipped noise back in
         assert _mse(out, clean) < 1e-8
 
+    def test_local_floor_recovers_under_overestimated_noise(self):
+        """When the caller's noise_var is grossly over-estimated (the NLE
+        failure mode on stroke-dense content), the LOCAL floor (erosion of
+        residual power over flat patches) restores most of the destroyed
+        signal; the fixed floor cannot."""
+        rng = np.random.default_rng(4)
+        H = W = 256
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        clean = np.full((H, W, 1), 0.5, np.float32)
+        # glyph-like geometry: a 48-px texture band flanked by flats, so
+        # the nearest flat patch is within the erosion window's reach
+        # (deep inside a wide textured region the floor deliberately
+        # stays conservative = plain Wiener)
+        band = np.s_[:, 104:152]
+        clean[band] += (0.1 * np.sin(xx[band] * 1.3))[..., None]
+        true_sig = 0.01
+        noisy = clean + rng.normal(0, true_sig, clean.shape).astype(
+            np.float32)
+        dn = np.asarray(box_mean(jnp.asarray(noisy), 9))  # kills texture
+        V_over = (6 * true_sig) ** 2                  # 36x over-estimate
+        out_fix = np.asarray(wiener_refine(
+            jnp.asarray(dn), jnp.asarray(noisy), noise_var=V_over,
+            noise_floor="fixed"))
+        out_loc = np.asarray(wiener_refine(
+            jnp.asarray(dn), jnp.asarray(noisy), noise_var=V_over,
+            noise_floor="local"))
+        tex = np.s_[32:-32, 110:146]
+        assert _mse(out_loc[tex], clean[tex]) < \
+            0.5 * _mse(out_fix[tex], clean[tex])
+        # and the flat wings must not regress vs the blur output
+        flat = np.s_[32:-32, 16:88]
+        assert _mse(out_loc[flat], clean[flat]) < 2.0 * true_sig ** 2
+
     def test_identity_when_input_equals_output(self):
         z = jnp.asarray(np.random.default_rng(3).random((32, 32, 4)),
                         jnp.float32)

@@ -1,0 +1,97 @@
+"""Wavelet-MAD robust NLE (yondx/nle/robust.py): recovers the noise curve
+on stroke-dense content where the flat-mask fit leaks texture, and defers
+to the fit (reference parity) everywhere else."""
+import numpy as np
+import jax.numpy as jnp
+
+from yondx.nle import self_nlf
+from yondx.nle.robust import (self_nlf_robust, mad_self_estimate,
+                              collab_nlf_robust)
+
+
+def _pg_noise(rng, clean, beta1, beta2):
+    return (clean + rng.normal(0, np.sqrt(beta1 * clean + beta2),
+                               clean.shape)).astype(np.float32)
+
+
+def _glyph_field(rng, S=512):
+    """Dense thin strokes on a mid-gray ground — no flat k=29 window."""
+    img = np.full((S, S), 0.25, np.float32)
+    cell = 24
+    for gy in range(4, S - cell, cell):
+        for gx in range(4, S - cell, cell):
+            for _ in range(3):
+                w = int(rng.integers(1, 4))
+                x0 = gx + int(rng.integers(0, cell - w))
+                y0 = gy + int(rng.integers(0, cell // 2))
+                h = int(rng.integers(cell // 3, cell - 2))
+                img[y0:y0 + h, x0:x0 + w] = 0.7
+    return img
+
+
+def test_robust_recovers_on_stroke_dense_content():
+    rng = np.random.default_rng(0)
+    beta1, beta2 = 2e-3, 5e-5
+    clean = _glyph_field(rng)[..., None].repeat(4, -1)
+    noisy = np.clip(_pg_noise(rng, clean, beta1, beta2), 0, 1)
+    x = jnp.asarray(noisy)
+    f1, f2 = self_nlf(x, k=29)
+    r1, r2 = self_nlf_robust(x, k=29)
+    mref = float(np.mean(noisy))
+    v_true = beta1 * mref + beta2
+    v_fit = float(f1) * mref + float(f2)
+    v_rob = float(r1) * mref + float(r2)
+    assert v_fit > 2.0 * v_true          # the fit really does leak here
+    assert 0.6 * v_true < v_rob < 1.5 * v_true
+
+
+def test_robust_defers_to_fit_on_flat_content():
+    """On flat-mosaic content the cross-check must keep the flat-mask fit
+    bit-exactly (reference-parity path)."""
+    rng = np.random.default_rng(1)
+    beta1, beta2 = 2e-3, 1e-4
+    levels = rng.random((4, 4)) * 0.6 + 0.05
+    clean = np.kron(levels, np.ones((128, 128)))[..., None].repeat(4, -1)
+    noisy = _pg_noise(rng, clean, beta1, beta2)
+    x = jnp.asarray(noisy)
+    f1, f2 = self_nlf(x, k=29)
+    r1, r2 = self_nlf_robust(x, k=29)
+    assert float(r1) == float(f1) and float(r2) == float(f2)
+
+
+def test_mad_estimate_accuracy_flat():
+    rng = np.random.default_rng(2)
+    beta1, beta2 = 5e-3, 2e-4
+    levels = rng.random((4, 4)) * 0.6 + 0.1
+    clean = np.kron(levels, np.ones((128, 128)))[..., None].repeat(4, -1)
+    noisy = _pg_noise(rng, clean, beta1, beta2)
+    m1, m2 = mad_self_estimate(jnp.asarray(noisy))
+    mref = float(np.mean(noisy))
+    v_true = beta1 * mref + beta2
+    v_mad = float(m1) * mref + float(m2)
+    assert abs(v_mad - v_true) < 0.15 * v_true
+
+
+def test_collab_robust_on_stroke_dense_content():
+    """The collaborative re-estimate must also survive stroke density:
+    residual MAD vs the var-difference fit."""
+    rng = np.random.default_rng(3)
+    beta1, beta2 = 2e-3, 5e-5
+    clean = _glyph_field(rng)[..., None].repeat(4, -1)
+    noisy = np.clip(_pg_noise(rng, clean, beta1, beta2), 0, 1)
+    # denoised proxy: clean + a little residual noise + smoothing error
+    dn = np.clip(clean + 0.2 * (noisy - clean), 0, 1)
+    r1, r2 = collab_nlf_robust(jnp.asarray(noisy), jnp.asarray(dn), k=29)
+    mref = float(np.mean(dn))
+    v_true = beta1 * mref + beta2
+    v_rob = float(r1) * mref + float(r2)
+    # residual detail = 0.8 x noise -> v ~ 0.64 v_true; accept the band
+    assert 0.3 * v_true < v_rob < 1.5 * v_true
+
+
+def test_physical_nonnegativity():
+    rng = np.random.default_rng(4)
+    clean = np.full((4, 256, 256, 4), 0.3, np.float32)
+    noisy = _pg_noise(rng, clean, 1e-3, 1e-5)
+    b1, b2 = mad_self_estimate(jnp.asarray(noisy))
+    assert float(b1) >= 0 and float(b2) >= 0

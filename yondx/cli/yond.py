@@ -130,6 +130,18 @@ class YOND:
             self.est_models[key] = _apply
 
         if self.pipe.denoiser_type.lower() == "bm3d":
+            # the native two-stage BM3D is gated on synthetic MSE tests
+            # only — no pip-bm3d oracle exists in this environment to
+            # certify parity with the quality the reference's BM3D rows
+            # assume (YOND_SIDD.py:272). Opt in explicitly rather than
+            # silently underperform (VERDICT r2 #6).
+            if not self.pipe.extras.get("allow_experimental_bm3d", False):
+                raise RuntimeError(
+                    "denoiser_type: BM3D is EXPERIMENTAL and unvalidated "
+                    "against the pip bm3d wheel's published quality. Set "
+                    "'allow_experimental_bm3d: true' in the pipeline "
+                    "block to use it anyway, or use a network denoiser "
+                    "(gru32n/unetn).")
             from ..pipeline import BM3DVSTDenoiser
             self.denoiser = BM3DVSTDenoiser(bias_corr=self.pipe.bias_corr,
                                             vst_type=self.pipe.vst_type)

@@ -1,0 +1,231 @@
+"""Robust Poisson-Gaussian NLE: per-intensity-bucket wavelet MAD.
+
+The reference's NLE (SelfNLF, YOND_SIDD.py:62-87) fits var~mean over
+patches selected by a flat-region texture mask. On content with no truly
+flat k=29 windows (stroke-dense text, dense foliage) the mask falls back
+to the least-textured patches, content leaks into the variance, and
+(K, sigma) over-estimate by 5-50x (measured on the held-out glyph scenes:
+est K=69.6 vs true 1.4). The denoiser then smooths at the wrong amplitude
+— the dominant quality failure class left after round 2.
+
+This module estimates the noise curve a fundamentally different way:
+
+1. finest-scale Haar diagonal detail d = (a + b - c - d)/2 over 2x2 cells
+   of each RGGB plane — for iid noise of variance v, var(d) = v, while
+   smooth signal cancels;
+2. bucket cells by intensity (the 2x2 cell mean);
+3. per bucket, take the MEDIAN of |d| (via a bucket x log|d| histogram —
+   scatter-free percentile, jit-safe): sigma_b = median|d| / 0.6745.
+   Structure (edges, strokes) produces sparse LARGE |d| outliers that a
+   median ignores up to ~50% contamination — and contamination only ever
+   INFLATES the estimate, never deflates it;
+4. weighted least-squares line fit sigma_b^2 ~ mean_b -> (beta1, beta2),
+   excluding clipped buckets (same 1e-4 < m < 0.8 rule as the reference's
+   polyfit, isp_algos.py:348-350).
+
+Because both estimators are inflated (never deflated) by content, the
+cross-check `min` combination in `self_nlf_robust` is principled: use the
+flat-mask fit (reference parity) unless the MAD fit sits clearly below it.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .nlf import self_nlf
+from .boxfilter import box_mean
+
+NB_M = 200          # intensity buckets
+NB_D = 256          # log|d| histogram bins
+_D_RANGE = float(np.log(1e4))   # |d| span: [dmax*1e-4, dmax]
+# median|d| = 0.6745 sigma for Gaussian d
+_MAD_C = 0.6745
+
+
+def _haar_hh(x):
+    """[..., h, w, C] -> (detail, cell mean) at half resolution."""
+    a = x[..., 0::2, 0::2, :]
+    b = x[..., 1::2, 1::2, :]
+    c = x[..., 0::2, 1::2, :]
+    d = x[..., 1::2, 0::2, :]
+    return (a + b - c - d) * 0.5, (a + b + c + d) * 0.25
+
+
+@partial(jax.jit, static_argnames=("min_count",))
+def mad_pg_fit(detail, mean, min_count: int = 64):
+    """(beta1, beta2) from per-bucket median|detail|.
+
+    detail, mean: same-size arrays (flattened internally). The medians
+    come from one segment-sum histogram over (bucket, log|d|) — O(N)
+    scatter-add, no per-bucket sort.
+    """
+    d = jnp.abs(detail.reshape(-1))
+    m = mean.reshape(-1)
+    dmax = jnp.max(d) + 1e-30
+    r = jnp.clip(d / dmax, 1e-4, 1.0)
+    dbin = jnp.clip(((jnp.log(r) + _D_RANGE) / _D_RANGE * NB_D)
+                    .astype(jnp.int32), 0, NB_D - 1)
+    bucket = jnp.clip((jnp.clip(m, 0.0, 1.0) * (NB_M - 1)).astype(
+        jnp.int32), 0, NB_M - 1)
+    idx = bucket * NB_D + dbin
+    counts = jax.ops.segment_sum(jnp.ones_like(d), idx,
+                                 num_segments=NB_M * NB_D)
+    counts = counts.reshape(NB_M, NB_D)
+    n_b = jnp.sum(counts, axis=1)
+    cdf = jnp.cumsum(counts, axis=1)
+    rank = 0.5 * n_b
+    med_bin = jnp.argmax(cdf >= rank[:, None], axis=1)
+    below = jnp.where(med_bin > 0,
+                      jnp.take_along_axis(
+                          cdf, jnp.maximum(med_bin - 1, 0)[:, None],
+                          axis=1)[:, 0], 0.0)
+    cnt_at = jnp.take_along_axis(counts, med_bin[:, None], axis=1)[:, 0]
+    frac = jnp.clip((rank - below) / jnp.maximum(cnt_at, 1e-30), 0.0, 1.0)
+    log_lo = (med_bin.astype(jnp.float32) / NB_D - 1.0) * _D_RANGE
+    step = _D_RANGE / NB_D
+    med = dmax * jnp.exp(log_lo + frac * step)
+    sigma_b = med / _MAD_C
+    var_b = sigma_b ** 2
+
+    # bucket mean intensity (exact, not the bin center)
+    sum_m = jax.ops.segment_sum(m, bucket, num_segments=NB_M)
+    mean_b = sum_m / jnp.maximum(n_b, 1.0)
+    # weights: bucket occupancy, clipped ranges excluded. Beyond the
+    # reference polyfit's fixed 1e-4 < m < 0.8 rule (isp_algos.py:348),
+    # buckets within 2 sigma_b of the black level are dropped (clipping
+    # deflates |d| there; at 2 sigma the deflation is already inside the
+    # per-bucket sampling band the envelope respects, and a harsher cut
+    # starves the collab estimator of its whole background on mid-noise
+    # text scenes).
+    w0 = n_b * ((mean_b > jnp.maximum(1e-4, 2.0 * sigma_b))
+                & (mean_b < 0.8)
+                & (n_b >= min_count)).astype(jnp.float32)
+
+    def wfit(w):
+        wsum = jnp.maximum(jnp.sum(w), 1e-30)
+        xbar = jnp.sum(w * mean_b) / wsum
+        ybar = jnp.sum(w * var_b) / wsum
+        dx = mean_b - xbar
+        sxx = jnp.sum(w * dx * dx)
+        sxy = jnp.sum(w * dx * (var_b - ybar))
+        b1 = jnp.where(sxx > 0, sxy / jnp.maximum(sxx, 1e-30), 0.0)
+        return b1, ybar - b1 * xbar
+
+    # LOWER-ENVELOPE fit: the per-bucket medians are robust to sparse
+    # outliers WITHIN a bucket, but cells that straddle structure land in
+    # intermediate-intensity buckets whose whole |d| population is
+    # inflated — a plain weighted fit is dragged up across buckets
+    # (measured: glyph scene 30x over). Content inflates var_b and never
+    # deflates it, so asymmetric IRLS down-weights buckets ABOVE the
+    # line. Crucially the down-weight starts only beyond each bucket's
+    # OWN sampling error (se of a median-of-n variance ~ 3.7/sqrt(n)
+    # relative): a globally-scaled envelope slid to the bottom of the
+    # statistical scatter on scenes with many small accurate buckets
+    # (measured 0.42x on satdisk_lo), while structure outliers sit
+    # 5-100x above and are still cleanly rejected.
+    se = 3.7 * var_b / jnp.sqrt(jnp.maximum(n_b, 1.0))
+    b1, b2 = wfit(w0)
+    w = w0
+    for _ in range(3):
+        resid = var_b - (b1 * mean_b + b2)
+        t = resid - 2.0 * se
+        w = w0 * jnp.where(t <= 0, 1.0,
+                           jnp.exp(-t / jnp.maximum(2.0 * se, 1e-30)))
+        b1, b2 = wfit(w)
+    # physics projection: shot (beta1) and read (beta2) variance are both
+    # non-negative. A narrow intensity support (glyph scenes: buckets
+    # span 0.22-0.30) leaves the slope ill-conditioned and the free fit
+    # can tilt to a negative intercept that extrapolates 2x low at the
+    # global mean; the constrained refit (through-origin slope, or flat
+    # line) is exact when the truth is one-component.
+    wsum = jnp.maximum(jnp.sum(w), 1e-30)
+    b1_org = jnp.sum(w * mean_b * var_b) / jnp.maximum(
+        jnp.sum(w * mean_b * mean_b), 1e-30)
+    b2_flat = jnp.sum(w * var_b) / wsum
+    b1, b2 = (jnp.where(b2 < 0, b1_org, jnp.where(b1 < 0, 0.0, b1)),
+              jnp.where(b2 < 0, 0.0, jnp.where(b1 < 0, b2_flat, b2)))
+    # validity: the surviving buckets must cover a real fraction of the
+    # samples. On bimodal scenes (dark ground + saturated disks) the
+    # black-clip and saturation cuts remove both modes and the fit would
+    # run on sparse structure-only gap buckets (measured: 25x under on
+    # satdisk). Such an estimate must never win the cross-check.
+    coverage = jnp.sum(w0) / jnp.maximum(jnp.sum(n_b), 1.0)
+    ok = coverage > 0.05
+    return (jnp.where(ok, b1, jnp.inf),
+            jnp.where(ok, b2, jnp.inf))
+
+
+_MAX_CELLS = 1 << 19    # cap the histogram scatter-add on huge frames
+
+
+def _maybe_subsample(d, m):
+    """Lane-friendly joint subsample of (detail, mean) to <=_MAX_CELLS
+    cells: the per-bucket medians are order statistics — 512k samples pin
+    them far below the fit's tolerance, while a full 12.6 MP frame's
+    segment_sum would cost tens of ms on a v5e (round-2 scatter
+    measurements)."""
+    from .threshold import _subsample
+    d = d.reshape(-1)
+    m = m.reshape(-1)
+    if d.shape[0] > _MAX_CELLS:
+        s = d.shape[0] // _MAX_CELLS + 1
+        d = _subsample(d, s)
+        m = _subsample(m, s)
+    return d, m
+
+
+def mad_self_estimate(rggb):
+    """Robust (beta1, beta2) of a noisy RGGB stack."""
+    d, m = _haar_hh(rggb.astype(jnp.float32))
+    return mad_pg_fit(*_maybe_subsample(d, m))
+
+
+def mad_collab_estimate(lr_rggb, dn_rggb):
+    """Robust re-estimate from a (noisy, denoised) pair: Haar detail of
+    the RESIDUAL (over-smoothing error is low-pass, so its detail is
+    sparse and the median rejects it), intensities from the denoised
+    proxy (CollabNLF's convention, YOND_SIDD.py:89-115)."""
+    d, _ = _haar_hh(lr_rggb.astype(jnp.float32)
+                    - dn_rggb.astype(jnp.float32))
+    _, m = _haar_hh(dn_rggb.astype(jnp.float32))
+    return mad_pg_fit(*_maybe_subsample(d, m))
+
+
+def combine_estimates(fit, mad, ref_mean, ratio: float = 1.5):
+    """Cross-check: keep the flat-mask fit (reference parity) unless the
+    MAD fit's predicted variance at the intensity mass center sits below
+    it by more than `ratio` — content inflates both estimators, so a
+    clear MAD-below-fit gap means the flat mask leaked texture."""
+    b1f, b2f = fit
+    b1m, b2m = mad
+    v_fit = b1f * ref_mean + b2f
+    v_mad = b1m * ref_mean + b2m
+    use_mad = (v_fit > ratio * jnp.maximum(v_mad, 1e-30)) \
+        & jnp.isfinite(v_mad)
+    return (jnp.where(use_mad, b1m, b1f),
+            jnp.where(use_mad, b2m, b2f))
+
+
+def self_nlf_robust(lr_rggb, k: int = 29, step: int = 5,
+                    ratio: float = 1.5):
+    """SelfNLF with the MAD cross-check (the yondx 'robust_nle' path)."""
+    x = lr_rggb.astype(jnp.float32)
+    fit = self_nlf(x, k=k, step=step)
+    mad = mad_self_estimate(x)
+    ref_mean = jnp.mean(jnp.clip(x, 0.0, 1.0))
+    return combine_estimates(fit, mad, ref_mean, ratio)
+
+
+def collab_nlf_robust(lr_rggb, dn_rggb, k: int = 29, step: int = 5,
+                      ratio: float = 1.5):
+    """CollabNLF with the MAD cross-check on the residual."""
+    from .nlf import collab_nlf
+    lr = lr_rggb.astype(jnp.float32)
+    dn = dn_rggb.astype(jnp.float32)
+    fit = collab_nlf(lr, dn, k=k, step=step)
+    mad = mad_collab_estimate(lr, dn)
+    ref_mean = jnp.mean(jnp.clip(dn, 0.0, 1.0))
+    return combine_estimates(fit, mad, ref_mean, ratio)

@@ -111,7 +111,8 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
                               frames_sequential: bool = True,
                               refine: bool = False, refine_k: int = 15,
                               refine_beta: float = 1.0,
-                              refine_floor: str = "local"):
+                              refine_floor: str = "local",
+                              robust_nle: bool = True):
     """Build jit fn(rggb [B,h,w,4], scale) -> (dn [B,h,w,4], regs [...,2]).
 
     `lut` is captured as a device constant (8.5 MB, lives in HBM).
@@ -187,11 +188,11 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
     if use_pallas_nle:
         from ..nle.pallas_ops import fused_moments
 
-        def self_est(x):
+        def self_fit(x):
             mean, var, tex = fused_moments(x, k=k)
             return _nlf_core(var, mean, tex, step, th_impl, th_subsample)
 
-        def collab_est(lr, dn):
+        def collab_fit(lr, dn):
             _, var_lr, _ = fused_moments(lr, k=k)
             mean_dn, var_dn, _ = fused_moments(dn, k=k)
             return _nlf_core(var_lr - var_dn, mean_dn,
@@ -200,16 +201,37 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
         from ..nle.boxfilter import nle_moments, mean_varfilt, varfilt
         inner = k // 3 * 2 + 1
 
-        def self_est(x):
+        def self_fit(x):
             mean, var, tex = nle_moments(x, k, inner)
             return _nlf_core(var, mean, tex, step, th_impl, th_subsample)
 
-        def collab_est(lr, dn):
+        def collab_fit(lr, dn):
             lr_var = jnp.maximum(varfilt(lr, k), 0.0)
             mean_dn, dn_var = mean_varfilt(dn, k)
             var = lr_var - dn_var
             return _nlf_core(var, mean_dn, jnp.sqrt(dn_var), step, th_impl,
                              th_subsample)
+
+    if robust_nle:
+        # wavelet-MAD cross-check (nle/robust.py): content can only
+        # inflate both estimators, so a MAD estimate clearly below the
+        # flat-mask fit means the mask leaked texture (no flat regions).
+        from ..nle.robust import (mad_self_estimate, mad_collab_estimate,
+                                  combine_estimates)
+
+        def self_est(x):
+            fit = self_fit(x)
+            mad = mad_self_estimate(x)
+            return combine_estimates(fit, mad,
+                                     jnp.mean(jnp.clip(x, 0.0, 1.0)))
+
+        def collab_est(lr, dn):
+            fit = collab_fit(lr, dn)
+            mad = mad_collab_estimate(lr, dn)
+            return combine_estimates(fit, mad,
+                                     jnp.mean(jnp.clip(dn, 0.0, 1.0)))
+    else:
+        self_est, collab_est = self_fit, collab_fit
 
     def fused_body(rggb, scale):
         b1, b2 = self_est(rggb)

@@ -47,6 +47,7 @@ v5e with the O(1) prefix-sum filters) inside the same jit.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..nle.boxfilter import box_mean

@@ -129,6 +129,15 @@ class AWGNTrainer:
         self.command = self.dst.get("command", "")
         self.consistency = "consistency" in self.command
         self.bayeraug = "no_bayeraug" not in self.command
+        # 'chroma_aug': post-unprocess per-channel raw gain jitter. The
+        # unprocess chain's inverse-WB division compresses raw chroma, so
+        # large strongly-colored flats are rare in training and the net
+        # learns a gray-world prior: on a flat patch with B/G = 2.8 it
+        # biases R +0.089 / B -0.090 toward gray, sigma-independent —
+        # measured root cause of the round-2 "26 dB chart ceiling"
+        # (saturated interiors actually score 49 dB). This flag covers
+        # the chroma tail directly in raw space.
+        self.chroma_aug = "chroma_aug" in self.command
 
         # no donation: params is also passed as the ema snapshot
         self._train_step = jax.jit(self._make_train_step())
@@ -144,6 +153,7 @@ class AWGNTrainer:
                 lambda p, *a: self.model.apply(p, *a))
             model = type("RematModel", (), {"apply": staticmethod(apply_fn)})
         clip, bayeraug = self.clip, self.bayeraug
+        chroma_aug = self.chroma_aug
         smin, smax = self.sigma_min, self.sigma_max
         consistency = self.consistency
         tx = self.tx
@@ -191,6 +201,22 @@ class AWGNTrainer:
             else:
                 hr, wb, cam2rgb, pattern = srgb_to_pseudo_raw(
                     k_data, batch, bayer_aug_enabled=bayeraug)
+                if chroma_aug:
+                    # per-sample raw-domain R/B gain jitter (log-uniform
+                    # in [1/2.5, 2.5], half the batch) so chroma-extreme
+                    # flats exist in training; G anchors exposure
+                    k_c, k_g, k_noise = jax.random.split(k_noise, 3)
+                    gains = jnp.exp(jax.random.uniform(
+                        k_c, (hr.shape[0], 2), minval=-np.log(2.5),
+                        maxval=np.log(2.5)))
+                    on = (jax.random.uniform(k_g, (hr.shape[0], 1))
+                          < 0.5).astype(hr.dtype)
+                    gr = 1.0 + on * (gains[:, :1] - 1.0)      # [B,1]
+                    gb = 1.0 + on * (gains[:, 1:] - 1.0)
+                    ones = jnp.ones_like(gr)
+                    g4 = jnp.concatenate([gr, ones, ones, gb],
+                                         axis=1)[:, None, None, :]
+                    hr = jnp.clip(hr * g4, 0.0, 1.0)
                 noisy, sigma = awgn_log_uniform(k_noise, hr, smin, smax)
             if clip:
                 noisy = jnp.clip(noisy, 0.0, 1.0)
