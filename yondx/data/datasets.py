@@ -127,9 +127,9 @@ class SyntheticSRGBDataset:
         self._disk = None
         if cache and disk_cache:
             os.makedirs(disk_cache, exist_ok=True)
-            # v5: 35% chart fraction (cache key versioned)
+            # v6: + thin-stroke class (cache key versioned)
             path = os.path.join(disk_cache,
-                                f"v5_s{seed}_p{size}_n{length}.npy")
+                                f"v6_s{seed}_p{size}_n{length}.npy")
             if os.path.exists(path):
                 try:
                     self._disk = np.load(path, mmap_mode="r")
@@ -155,6 +155,32 @@ class SyntheticSRGBDataset:
     def _generate(self, idx: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed * 100003 + idx)
         S = self.size
+        # ~12% of crops: thin random strokes (arbitrary-angle segments,
+        # 1-4 px) on a flat ground — stroke preservation at low noise is
+        # the one held-out class the round-3 nets still lose on
+        # (glyphs_lo, docs/STATUS.md). Construction deliberately differs
+        # from the held-out suite's axis-aligned cell glyphs.
+        if rng.random() < 0.12:
+            bg = rng.random(3) * 0.7 + 0.15
+            fg = np.clip(bg + (0.5 if bg.mean() < 0.5 else -0.5), 0, 1)
+            img = np.ones((S, S, 3), np.float32) * bg
+            yy, xx = np.mgrid[0:S, 0:S].astype(np.float32)
+            for _ in range(int(rng.integers(20, 60))):
+                x0, y0 = rng.random(2) * S
+                ang = rng.random() * np.pi
+                ln = rng.integers(S // 16, S // 2)
+                w = 0.5 + rng.random() * 1.5          # half-width 0.5-2 px
+                dx, dy = np.cos(ang), np.sin(ang)
+                t = (xx - x0) * dx + (yy - y0) * dy
+                dist = np.abs(-(xx - x0) * dy + (yy - y0) * dx)
+                m = (dist < w) & (t > 0) & (t < ln)
+                col = fg if rng.random() < 0.8 else rng.random(3)
+                img[m] = col
+            img = np.clip(img * (0.4 + rng.random()), 0, 1)
+            img = (img * 255.0 + 0.5).astype(np.uint8)
+            if self._cache is not None:
+                self._cache[idx] = img
+            return img
         # ~1 in 5 crops: a hard block-mosaic "chart" — adjoining flat
         # rectangles spanning the full brightness range incl. saturated
         # blocks next to dark ones. Real SIDD validation scenes are such
