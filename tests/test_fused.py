@@ -139,3 +139,39 @@ def test_frames_batch_mode_per_frame_params():
                                    atol=1e-5)
         np.testing.assert_allclose(regs[i], np.asarray(regs_i), rtol=1e-3,
                                    atol=1e-7)
+
+
+def test_fused_refine_robust_matches_engine_and_improves():
+    """The product config (refine + robust_nle) in ONE jit matches the
+    orchestrated engine with the same options and beats the un-refined
+    output on a blur 'denoiser' (which over-smooths by construction)."""
+    from yondx.eval import psnr
+    from yondx.isp import rggb2bayer
+    rng = np.random.default_rng(17)
+    clean, noisy = _scene(rng)
+    lut = BiasLUT()
+
+    den = VSTDenoiser(_BlurModel(), None, guided=False, bias_corr="pre",
+                      vst_type="exact", refine=True, refine_floor="local")
+    eng = YONDEngine(den, PipelineConfig(est_type="simple", max_iter=1),
+                     biaslut=lut)
+    p = {"wp": 1023, "bl": 64, "ratio": 1, "scale": 959.0,
+         "gain": 1.0, "sigma": 0.0}
+    ref = eng.iter_denoise({"lr": noisy}, p)
+
+    fused = make_fused_blind_denoiser(_BlurModel(), None, lut.lut,
+                                      guided=False, max_iter=1,
+                                      refine=True, refine_floor="local",
+                                      robust_nle=True)
+    rggb = bayer2rggb(jnp.asarray(noisy))
+    dn, regs = fused(rggb, jnp.float32(959.0))
+    out = np.asarray(rggb2bayer(dn))
+    np.testing.assert_allclose(out, ref["raw_dns"][-1], atol=1e-3)
+
+    plain = make_fused_blind_denoiser(_BlurModel(), None, lut.lut,
+                                      guided=False, max_iter=1,
+                                      refine=False, robust_nle=True)
+    dn0, _ = plain(rggb, jnp.float32(959.0))
+    out0 = np.asarray(rggb2bayer(dn0))
+    # blur destroys block edges; the refinement restores them
+    assert float(psnr(out, clean)) > float(psnr(out0, clean)) + 0.5
