@@ -158,7 +158,11 @@ def mad_pg_fit(detail, mean, min_count: int = 64):
             jnp.where(ok, b2, jnp.inf))
 
 
-_MAX_CELLS = 1 << 19    # cap the histogram scatter-add on huge frames
+_MAX_CELLS = 1 << 18    # cap the histogram scatter-add on huge frames
+                        # (per-element scatter cost dominates mad_pg_fit:
+                        # 5-7 ms at 2^17-2^18 vs ~10+ at 2^19 on v5e;
+                        # 256k cells over <=200 live buckets still gives
+                        # >1e3 samples/bucket — median se ~ 4%)
 
 
 def _maybe_subsample(d, m):
@@ -177,9 +181,40 @@ def _maybe_subsample(d, m):
     return d, m
 
 
+_BAND = 32          # rows per sampled band (even, so 2x2 cells never
+                    # straddle a band boundary after the re-concat)
+
+
+def _band_subsample_rows(x, max_px: int):
+    """Evenly-spaced contiguous row bands totalling <= max_px pixels.
+
+    Subsampling BEFORE the Haar transform is the whole cost model of the
+    robust path on big frames: computing the detail field on all 12.6 MP
+    and then discarding 96% of the cells spent ~29 ms/frame in strided
+    slices alone (measured on v5e). Whole-band slices ride the sublane
+    dimension in contiguous chunks, so the gather is a few memcpys; the
+    per-bucket medians only need ~5e5 cells (order statistics — sampling
+    error << the fit tolerance), and evenly-spaced bands keep the
+    intensity histogram representative under vertical scene gradients."""
+    h, w = x.shape[-3], x.shape[-2]
+    per_ch = int(np.prod(x.shape[:-3], dtype=np.int64)) * x.shape[-1]
+    max_rows = max(_BAND, max_px // max(w * per_ch, 1))
+    if h <= max_rows or h < 2 * _BAND:
+        return x
+    nb = h // _BAND
+    keep = max(1, min(nb, max_rows // _BAND))
+    stride = nb // keep
+    lead = x.shape[:-3]
+    xb = x[..., :nb * _BAND, :, :].reshape(lead + (nb, _BAND, w,
+                                                   x.shape[-1]))
+    xb = xb[..., ::stride, :, :, :][..., :keep, :, :, :]
+    return xb.reshape(lead + (keep * _BAND, w, x.shape[-1]))
+
+
 def mad_self_estimate(rggb):
     """Robust (beta1, beta2) of a noisy RGGB stack."""
-    d, m = _haar_hh(rggb.astype(jnp.float32))
+    x = _band_subsample_rows(rggb.astype(jnp.float32), 4 * _MAX_CELLS)
+    d, m = _haar_hh(x)
     return mad_pg_fit(*_maybe_subsample(d, m))
 
 
@@ -188,9 +223,10 @@ def mad_collab_estimate(lr_rggb, dn_rggb):
     the RESIDUAL (over-smoothing error is low-pass, so its detail is
     sparse and the median rejects it), intensities from the denoised
     proxy (CollabNLF's convention, YOND_SIDD.py:89-115)."""
-    d, _ = _haar_hh(lr_rggb.astype(jnp.float32)
-                    - dn_rggb.astype(jnp.float32))
-    _, m = _haar_hh(dn_rggb.astype(jnp.float32))
+    lr = _band_subsample_rows(lr_rggb.astype(jnp.float32), 4 * _MAX_CELLS)
+    dn = _band_subsample_rows(dn_rggb.astype(jnp.float32), 4 * _MAX_CELLS)
+    d, _ = _haar_hh(lr - dn)
+    _, m = _haar_hh(dn)
     return mad_pg_fit(*_maybe_subsample(d, m))
 
 
