@@ -28,15 +28,14 @@ from yondx.core.logging import log
 
 
 def time_fn(fn, *args, reps=10):
-    """Steady-state seconds/call: one scalar fetch after `reps` dispatches
-    (block_until_ready costs ~25 ms/call of tunnel sync — ops notes)."""
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Steady-state seconds/call: one scalar HOST FETCH after `reps`
+    dispatches. block_until_ready over the axon tunnel does not reliably
+    block (measured: 0.1 ms for a 90 ms graph) — only np.asarray of the
+    scalar result forces completion. fn must return a scalar."""
+    np.asarray(fn(*args))
     t0 = time.perf_counter()
-    acc = None
-    for _ in range(reps):
-        acc = fn(*args)
-    jax.block_until_ready(acc)
+    accs = [fn(*args) for _ in range(reps)]
+    np.asarray(sum(accs))
     return (time.perf_counter() - t0) / reps
 
 
