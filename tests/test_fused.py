@@ -175,3 +175,42 @@ def test_fused_refine_robust_matches_engine_and_improves():
     out0 = np.asarray(rggb2bayer(dn0))
     # blur destroys block edges; the refinement restores them
     assert float(psnr(out, clean)) > float(psnr(out0, clean)) + 0.5
+
+
+def test_fused_abort_guard_keeps_round0_and_repeats_reg():
+    """Aborted iteration in FUSED mode (collab beta1 < 0): the output must
+    stay the round-0 result and regs must append the PREVIOUS round's reg.
+
+    The reg-append is the documented deviation from the reference, which
+    keeps the iter-0 output and appends NOTHING on abort
+    (YOND_SIDD.py:445-447) — the fused graph is static, so regs has a fixed
+    [max_iter+1, 2] shape and repeats the last good reg instead
+    (fused.py guard selects). The denoised output contract is identical.
+
+    Trip mechanism: a 'denoiser' whose output noise amplitude GROWS with
+    brightness makes collab var = var_lr - var_dn decrease with mean, so
+    the masked line fit returns a negative slope (beta1 < 0).
+    """
+    class _BrightNoiseModel:
+        def apply(self, params, x, t=None):
+            # deterministic high-frequency garbage, amplitude ~ x
+            return jnp.clip(x + 0.4 * x * jnp.sin(x * 397.0), 0.0, 1.0)
+
+    rng = np.random.default_rng(17)
+    _, noisy = _scene(rng)
+    lut = BiasLUT()
+    f0 = make_fused_blind_denoiser(_BrightNoiseModel(), None, lut.lut,
+                                   guided=False, max_iter=0)
+    f1 = make_fused_blind_denoiser(_BrightNoiseModel(), None, lut.lut,
+                                   guided=False, max_iter=1)
+    rggb = bayer2rggb(jnp.asarray(noisy))
+    dn0, regs0 = f0(rggb, jnp.float32(959.0))
+    dn1, regs1 = f1(rggb, jnp.float32(959.0))
+    regs1 = np.asarray(regs1)
+
+    # the guard must actually have tripped: an un-aborted round would have
+    # appended a (c1, c2) differing from round 0
+    np.testing.assert_array_equal(regs1[1], regs1[0])
+    np.testing.assert_array_equal(np.asarray(regs0[0]), regs1[0])
+    # and the output is the round-0 output, untouched by round 1
+    np.testing.assert_allclose(np.asarray(dn1), np.asarray(dn0), atol=1e-6)
