@@ -72,6 +72,34 @@ def test_sharded_self_nlf_realistic_frame_1pct():
     assert abs(float(b2) - float(b2_ref)) < 0.01 * abs(float(b2_ref)) + 1e-7
 
 
+def test_sharded_mad_and_robust_nlf_match_single_device():
+    """The (counts, sum_m) histogram pair is a sufficient statistic for
+    the MAD fit, so the psum'd sharded estimate must reproduce the
+    single-device one near-exactly when neither path subsamples (small
+    frame: all cells used by both)."""
+    from yondx.parallel.spatial import (sharded_mad_self_estimate,
+                                        sharded_self_nlf_robust)
+    from yondx.nle.robust import mad_self_estimate, self_nlf_robust
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(7)
+    beta1, beta2 = 3e-3, 8e-5
+    levels = rng.random((8, 4)) * 0.7 + 0.05
+    clean = np.kron(levels, np.ones((64, 32)))[..., None].repeat(4, -1)
+    noisy = np.clip(clean + rng.normal(0, np.sqrt(beta1 * clean + beta2),
+                                       clean.shape), 0, 1).astype(np.float32)
+    b1_ref, b2_ref = mad_self_estimate(jnp.asarray(noisy))
+    xs = shard_batch(mesh, noisy)
+    b1, b2 = sharded_mad_self_estimate(mesh, xs)
+    assert abs(float(b1) - float(b1_ref)) < 1e-3 * abs(float(b1_ref)) + 1e-9
+    assert abs(float(b2) - float(b2_ref)) < 1e-3 * abs(float(b2_ref)) + 1e-9
+    # the combined robust path (flat fit x MAD cross-check) at the 1%
+    # product gate of VERDICT r2 #5
+    r1_ref, r2_ref = self_nlf_robust(jnp.asarray(noisy), k=29)
+    r1, r2 = sharded_self_nlf_robust(mesh, xs, k=29)
+    assert abs(float(r1) - float(r1_ref)) < 0.01 * abs(float(r1_ref)) + 1e-7
+    assert abs(float(r2) - float(r2_ref)) < 0.01 * abs(float(r2_ref)) + 1e-7
+
+
 def test_spatial_denoise_sharded_matches_single_device():
     """Row-sharded fused VST denoise == single-device VSTDenoiser in the
     interior (identity network, so exactly equal everywhere)."""

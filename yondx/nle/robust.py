@@ -54,6 +54,28 @@ def _haar_hh(x):
     return (a + b - c - d) * 0.5, (a + b + c + d) * 0.25
 
 
+def _mad_histograms(d, m, dmax):
+    """(bucket x log|d|) count histogram + per-bucket intensity sums.
+
+    Split out so the multi-chip path (parallel.spatial) can psum the
+    histograms across shards before the fit: the (counts, sum_m) pair is
+    a sufficient statistic for `_mad_fit_from_hist`, so per-shard
+    accumulation + psum reproduces the single-device fit exactly (given
+    the global dmax via pmax)."""
+    d = jnp.abs(d.reshape(-1))
+    m = m.reshape(-1)
+    r = jnp.clip(d / dmax, 1e-4, 1.0)
+    dbin = jnp.clip(((jnp.log(r) + _D_RANGE) / _D_RANGE * NB_D)
+                    .astype(jnp.int32), 0, NB_D - 1)
+    bucket = jnp.clip((jnp.clip(m, 0.0, 1.0) * (NB_M - 1)).astype(
+        jnp.int32), 0, NB_M - 1)
+    idx = bucket * NB_D + dbin
+    counts = jax.ops.segment_sum(jnp.ones_like(d), idx,
+                                 num_segments=NB_M * NB_D)
+    sum_m = jax.ops.segment_sum(m, bucket, num_segments=NB_M)
+    return counts.reshape(NB_M, NB_D), sum_m
+
+
 @partial(jax.jit, static_argnames=("min_count",))
 def mad_pg_fit(detail, mean, min_count: int = 64):
     """(beta1, beta2) from per-bucket median|detail|.
@@ -63,17 +85,14 @@ def mad_pg_fit(detail, mean, min_count: int = 64):
     scatter-add, no per-bucket sort.
     """
     d = jnp.abs(detail.reshape(-1))
-    m = mean.reshape(-1)
     dmax = jnp.max(d) + 1e-30
-    r = jnp.clip(d / dmax, 1e-4, 1.0)
-    dbin = jnp.clip(((jnp.log(r) + _D_RANGE) / _D_RANGE * NB_D)
-                    .astype(jnp.int32), 0, NB_D - 1)
-    bucket = jnp.clip((jnp.clip(m, 0.0, 1.0) * (NB_M - 1)).astype(
-        jnp.int32), 0, NB_M - 1)
-    idx = bucket * NB_D + dbin
-    counts = jax.ops.segment_sum(jnp.ones_like(d), idx,
-                                 num_segments=NB_M * NB_D)
-    counts = counts.reshape(NB_M, NB_D)
+    counts, sum_m = _mad_histograms(d, mean, dmax)
+    return _mad_fit_from_hist(counts, sum_m, dmax, min_count)
+
+
+def _mad_fit_from_hist(counts, sum_m, dmax, min_count: int = 64):
+    """Per-bucket medians + lower-envelope IRLS fit from the (counts,
+    sum_m) sufficient statistic (see `_mad_histograms`)."""
     n_b = jnp.sum(counts, axis=1)
     cdf = jnp.cumsum(counts, axis=1)
     rank = 0.5 * n_b
@@ -91,7 +110,6 @@ def mad_pg_fit(detail, mean, min_count: int = 64):
     var_b = sigma_b ** 2
 
     # bucket mean intensity (exact, not the bin center)
-    sum_m = jax.ops.segment_sum(m, bucket, num_segments=NB_M)
     mean_b = sum_m / jnp.maximum(n_b, 1.0)
     # weights: bucket occupancy, clipped ranges excluded. Beyond the
     # reference polyfit's fixed 1e-4 < m < 0.8 rule (isp_algos.py:348),

@@ -15,7 +15,9 @@ trainer_AWGN.py:43-61 — SURVEY.md §2.10). The TPU-native equivalent:
   DistributedSampler analog); barriers are implicit in SPMD collectives.
 """
 from .mesh import make_mesh, shard_batch, replicate
-from .spatial import sharded_box_stats, spatial_denoise_sharded
+from .spatial import (sharded_box_stats, spatial_denoise_sharded,
+                      sharded_mad_self_estimate, sharded_self_nlf_robust)
 
 __all__ = ["make_mesh", "shard_batch", "replicate",
-           "sharded_box_stats", "spatial_denoise_sharded"]
+           "sharded_box_stats", "spatial_denoise_sharded",
+           "sharded_mad_self_estimate", "sharded_self_nlf_robust"]

@@ -229,3 +229,57 @@ def spatial_denoise_sharded(mesh: Mesh, apply_fn: Callable, params,
                        out_specs=P(axis))
     return fn(rggb, jnp.asarray(curve, jnp.float32), jnp.float32(K),
               jnp.float32(sigma), jnp.float32(scale))
+
+
+def sharded_mad_self_estimate(mesh: Mesh, rggb, axis: str = "data"):
+    """Multi-chip wavelet-MAD robust NLE (nle.robust) on a row-sharded
+    frame -> (beta1, beta2) replicated scalars.
+
+    The (bucket x log|d|) histogram pair of `_mad_histograms` is a
+    sufficient statistic for the fit, so each shard accumulates its own
+    cells and ONE psum reproduces the single-device estimate exactly
+    (global dmax via pmax first — the log binning depends on it). Shards
+    must hold an even number of rows so the 2x2 Haar cells tile without
+    crossing boundaries (no halo needed).
+    """
+    from ..nle.robust import (_band_subsample_rows, _haar_hh,
+                              _mad_histograms, _mad_fit_from_hist,
+                              _MAX_CELLS)
+    from ..nle.threshold import _subsample
+    nsh = mesh.shape[axis]
+
+    def f(x):
+        assert x.shape[0] % 2 == 0, \
+            "row shards must be even-sized for 2x2 Haar cells"
+        xs = _band_subsample_rows(x.astype(jnp.float32),
+                                  4 * _MAX_CELLS // nsh)
+        d, m = _haar_hh(xs)
+        d = jnp.abs(d.reshape(-1))
+        m = m.reshape(-1)
+        cap = max(1, _MAX_CELLS // nsh)
+        if d.shape[0] > cap:
+            s = d.shape[0] // cap + 1
+            d = _subsample(d, s)
+            m = _subsample(m, s)
+        dmax = lax.pmax(jnp.max(d), axis) + 1e-30
+        counts, sum_m = _mad_histograms(d, m, dmax)
+        counts = lax.psum(counts, axis)
+        sum_m = lax.psum(sum_m, axis)
+        return _mad_fit_from_hist(counts, sum_m, dmax)
+
+    fn = jax.shard_map(f, mesh=mesh, in_specs=P(axis),
+                       out_specs=(P(), P()))
+    return fn(rggb)
+
+
+def sharded_self_nlf_robust(mesh: Mesh, rggb, k: int = 29,
+                            axis: str = "data", step: int = 5,
+                            ratio: float = 1.5):
+    """Multi-chip counterpart of nle.robust.self_nlf_robust: the flat-mask
+    fit (sharded_self_nlf) cross-checked against the sharded MAD estimate
+    — the product's robust_nle default, on a row-sharded frame."""
+    from ..nle.robust import combine_estimates
+    fit = sharded_self_nlf(mesh, rggb, k=k, axis=axis, step=step)
+    mad = sharded_mad_self_estimate(mesh, rggb, axis=axis)
+    ref_mean = jnp.mean(jnp.clip(rggb, 0.0, 1.0))
+    return combine_estimates(fit, mad, ref_mean, ratio)
