@@ -54,11 +54,15 @@ def main():
     # bf16 compute, fp32 params (MXU-native; PSNR impact is reported below)
     model = build_model(arch, dtype=jnp.bfloat16)
     params = init_params(model, jax.random.PRNGKey(0), (1, 128, 128, 4))
-    # flagship weights: the low-noise fine-tune (sigma 1-50; +0.6 dB on
-    # this bench and +0.4 dB on low-noise scenes vs the 5-50 recipe),
-    # falling back to the reference-recipe 5-50 checkpoint
+    # flagship weights: the round-3 chroma + thin-stroke fine-tune
+    # (chroma_aug raw-gain jitter + v6 stroke class; held-out suite mean
+    # 40.41 -> 42.75 dB, do-no-harm 0 below input on all 14 scenes, chart
+    # anchor 36.15 -> 40.42 — docs/STATUS.md), falling back to the earlier
+    # recipes
     ck = find_checkpoint("checkpoints/Gaussian",
-                         "Gaussian_GRU_mix_1to50_norm") or \
+                         "Gaussian_GRU_mix_1to50c_norm") or \
+        find_checkpoint("checkpoints/Gaussian",
+                        "Gaussian_GRU_mix_1to50_norm") or \
         find_checkpoint("checkpoints/Gaussian",
                         "Gaussian_GRU_mix_5to50_norm")
     if ck:

@@ -86,9 +86,17 @@ def main():
     ap.add_argument("--heldout", action="store_true",
                     help="run the frozen generator-disjoint suite "
                          "(yondx.eval.heldout) instead of ad-hoc scenes")
+    ap.add_argument("--refine", default=None, choices=["local", "fixed"],
+                    help="method-noise Wiener refinement (pipeline/refine"
+                         ".py) with the given noise floor — the product "
+                         "config of runfiles/YOND/SIDD_refine_pre_grumix")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent XLA cache: the engine's graphs cost ~10 min of compiles
+    # over the tunnel on a cold process (bench.py does the same)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/yondx_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     arch = {"name": "GuidedResUnet", "guided": True, "in_nc": 4,
             "out_nc": 4, "nf": args.nf, "nframes": 1, "res": True,
@@ -103,7 +111,8 @@ def main():
         log("WARNING: random weights")
 
     den = VSTDenoiser(model, params, guided=True, bias_corr="pre",
-                      vst_type="exact")
+                      vst_type="exact", refine=args.refine is not None,
+                      refine_floor=args.refine or "local")
     eng = YONDEngine(den, PipelineConfig(est_type="simple", max_iter=1),
                      biaslut=BiasLUT())
 

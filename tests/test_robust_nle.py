@@ -89,6 +89,30 @@ def test_collab_robust_on_stroke_dense_content():
     assert 0.3 * v_true < v_rob < 1.5 * v_true
 
 
+def test_collab_margin_survives_residual_deflation():
+    """Regression for the held-out ramp_lo iteration-1 collapse: when the
+    denoiser's RAW output retains part of the noise, the residual-MAD
+    estimate is DEFLATED (violating the 'content only inflates' premise)
+    and at the old 1.5x margin the cross-check flipped to it, costing
+    10 dB (16:19 session log: collab K 1.46 -> 0.21, true 1.5). With the
+    3x COLLAB_RATIO margin the healthy flat fit must win."""
+    rng = np.random.default_rng(7)
+    beta1, beta2 = 1.5e-3, 1e-6
+    levels = rng.random((4, 4)) * 0.6 + 0.05
+    clean = np.kron(levels, np.ones((128, 128)))[..., None].repeat(4, -1)
+    noisy = _pg_noise(rng, clean, beta1, beta2)
+    # proxy retains 40% of the noise: residual = 0.6x noise, so the MAD
+    # sees ~0.36 v_true — inside the deflation band, outside the 3x margin
+    dn = clean + 0.4 * (noisy - clean)
+    r1, r2 = collab_nlf_robust(jnp.asarray(noisy), jnp.asarray(dn), k=29)
+    mref = float(np.mean(dn))
+    v_true = beta1 * mref + beta2
+    v_rob = float(r1) * mref + float(r2)
+    # the collab flat fit itself reads var_lr - var_dn ~ 0.84 v_true here;
+    # the deflated MAD (~0.36 v_true) must NOT be selected
+    assert v_rob > 0.6 * v_true
+
+
 def test_physical_nonnegativity():
     rng = np.random.default_rng(4)
     clean = np.full((4, 256, 256, 4), 0.3, np.float32)

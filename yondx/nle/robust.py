@@ -176,11 +176,15 @@ def _mad_fit_from_hist(counts, sum_m, dmax, min_count: int = 64):
             jnp.where(ok, b2, jnp.inf))
 
 
-_MAX_CELLS = 1 << 18    # cap the histogram scatter-add on huge frames
-                        # (per-element scatter cost dominates mad_pg_fit:
-                        # 5-7 ms at 2^17-2^18 vs ~10+ at 2^19 on v5e;
-                        # 256k cells over <=200 live buckets still gives
-                        # >1e3 samples/bucket — median se ~ 4%)
+_MAX_CELLS = 1 << 17    # cap the histogram scatter-add on huge frames.
+                        # Amortized in-graph scan timing on v5e
+                        # (scripts/bench_robust_overhead.py): the
+                        # (counts, sum_m) scatter pair costs 6.2 ms at
+                        # 2^18 cells, 3.9 at 2^17, 2.8 at 2^16; a [N,2]
+                        # payload single-scatter is no faster (6.1).
+                        # 128k cells over <=200 live buckets still gives
+                        # >600 samples/bucket — median se ~6%, far below
+                        # the 1.5x cross-check trigger (combine_estimates)
 
 
 def _maybe_subsample(d, m):
@@ -248,11 +252,27 @@ def mad_collab_estimate(lr_rggb, dn_rggb):
     return mad_pg_fit(*_maybe_subsample(d, m))
 
 
+# Trigger margin for the COLLAB cross-check. The self-path premise
+# ("content can only inflate either estimator") does NOT fully hold for
+# the collab MAD: it runs on the residual lr - dn_raw, and when the net's
+# raw output retains part of the noise the residual detail is DEFLATED —
+# measured on the held-out ramp_lo scene (16:19 session log): the MAD fit
+# came out 7x low in variance (beta1 2.24e-4 vs true 1.56e-3) and the
+# 1.5x trigger flipped to the bad estimate, costing 10 dB on iteration 1.
+# The failure class this cross-check exists for (flat-mask leakage on
+# stroke-dense content) over-estimates by 5-50x, so a 3x margin keeps
+# every real rescue while staying out of the deflation band.
+COLLAB_RATIO = 3.0
+
+
 def combine_estimates(fit, mad, ref_mean, ratio: float = 1.5):
     """Cross-check: keep the flat-mask fit (reference parity) unless the
     MAD fit's predicted variance at the intensity mass center sits below
     it by more than `ratio` — content inflates both estimators, so a
-    clear MAD-below-fit gap means the flat mask leaked texture."""
+    clear MAD-below-fit gap means the flat mask leaked texture.
+
+    Use ratio=1.5 for self estimates and `COLLAB_RATIO` for collab ones
+    (residual-MAD deflation hazard — see the constant's note)."""
     b1f, b2f = fit
     b1m, b2m = mad
     v_fit = b1f * ref_mean + b2f
@@ -274,7 +294,7 @@ def self_nlf_robust(lr_rggb, k: int = 29, step: int = 5,
 
 
 def collab_nlf_robust(lr_rggb, dn_rggb, k: int = 29, step: int = 5,
-                      ratio: float = 1.5):
+                      ratio: float = COLLAB_RATIO):
     """CollabNLF with the MAD cross-check on the residual."""
     from .nlf import collab_nlf
     lr = lr_rggb.astype(jnp.float32)
