@@ -56,7 +56,7 @@ def main():
     params = init_params(model, jax.random.PRNGKey(0), (1, 128, 128, 4))
     # flagship weights: the round-3 chroma + thin-stroke fine-tune
     # (chroma_aug raw-gain jitter + v6 stroke class; held-out suite mean
-    # 40.41 -> 42.75 dB, do-no-harm 0 below input on all 14 scenes, chart
+    # 40.41 -> 43.47 dB, do-no-harm 0 below input on all 14 scenes, chart
     # anchor 36.15 -> 40.42 — docs/STATUS.md), falling back to the earlier
     # recipes
     ck = find_checkpoint("checkpoints/Gaussian",

@@ -189,7 +189,10 @@ def test_fused_abort_guard_keeps_round0_and_repeats_reg():
 
     Trip mechanism: a 'denoiser' whose output noise amplitude GROWS with
     brightness makes collab var = var_lr - var_dn decrease with mean, so
-    the masked line fit returns a negative slope (beta1 < 0).
+    the masked line fit returns a negative slope (beta1 < 0). Built with
+    robust_nle=False: the guard path is what's under test, and the robust
+    MAD cross-check would legitimately rescue this degenerate fit instead
+    of aborting (the guard still protects the non-robust configs).
     """
     class _BrightNoiseModel:
         def apply(self, params, x, t=None):
@@ -200,9 +203,11 @@ def test_fused_abort_guard_keeps_round0_and_repeats_reg():
     _, noisy = _scene(rng)
     lut = BiasLUT()
     f0 = make_fused_blind_denoiser(_BrightNoiseModel(), None, lut.lut,
-                                   guided=False, max_iter=0)
+                                   guided=False, max_iter=0,
+                                   robust_nle=False)
     f1 = make_fused_blind_denoiser(_BrightNoiseModel(), None, lut.lut,
-                                   guided=False, max_iter=1)
+                                   guided=False, max_iter=1,
+                                   robust_nle=False)
     rggb = bayer2rggb(jnp.asarray(noisy))
     dn0, regs0 = f0(rggb, jnp.float32(959.0))
     dn1, regs1 = f1(rggb, jnp.float32(959.0))

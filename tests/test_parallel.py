@@ -100,6 +100,41 @@ def test_sharded_mad_and_robust_nlf_match_single_device():
     assert abs(float(r2) - float(r2_ref)) < 0.01 * abs(float(r2_ref)) + 1e-7
 
 
+def test_sharded_collab_nlf_and_robust_match_single_device():
+    """The multi-chip collab path (fit + residual MAD + symmetric band)
+    reproduces the single-chip one at the 1% product gate; the MAD
+    sufficient-statistic psum is near-exact (small frame: neither path
+    subsamples)."""
+    from yondx.parallel.spatial import (sharded_collab_nlf,
+                                        sharded_mad_collab_estimate,
+                                        sharded_collab_nlf_robust)
+    from yondx.nle.nlf import collab_nlf
+    from yondx.nle.robust import mad_collab_estimate, collab_nlf_robust
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(9)
+    beta1, beta2 = 3e-3, 8e-5
+    levels = rng.random((8, 4)) * 0.7 + 0.05
+    clean = np.kron(levels, np.ones((64, 32)))[..., None].repeat(4, -1)
+    noisy = np.clip(clean + rng.normal(0, np.sqrt(beta1 * clean + beta2),
+                                       clean.shape), 0, 1).astype(np.float32)
+    # proxy: clean with a little retained noise (the realistic round-0
+    # output) — keeps both estimators honest and the band inside trust
+    dn = np.clip(clean + 0.1 * (noisy - clean), 0, 1).astype(np.float32)
+    f_ref = collab_nlf(jnp.asarray(noisy), jnp.asarray(dn), k=29)
+    xs, ds = shard_batch(mesh, noisy), shard_batch(mesh, dn)
+    f1, f2 = sharded_collab_nlf(mesh, xs, ds, k=29)
+    assert abs(float(f1) - float(f_ref[0])) < 0.01 * abs(float(f_ref[0])) + 1e-7
+    assert abs(float(f2) - float(f_ref[1])) < 0.01 * abs(float(f_ref[1])) + 1e-7
+    m_ref = mad_collab_estimate(jnp.asarray(noisy), jnp.asarray(dn))
+    m1, m2 = sharded_mad_collab_estimate(mesh, xs, ds)
+    assert abs(float(m1) - float(m_ref[0])) < 1e-3 * abs(float(m_ref[0])) + 1e-9
+    assert abs(float(m2) - float(m_ref[1])) < 1e-3 * abs(float(m_ref[1])) + 1e-9
+    r_ref = collab_nlf_robust(jnp.asarray(noisy), jnp.asarray(dn), k=29)
+    r1, r2 = sharded_collab_nlf_robust(mesh, xs, ds, k=29)
+    assert abs(float(r1) - float(r_ref[0])) < 0.01 * abs(float(r_ref[0])) + 1e-7
+    assert abs(float(r2) - float(r_ref[1])) < 0.01 * abs(float(r_ref[1])) + 1e-7
+
+
 def test_spatial_denoise_sharded_matches_single_device():
     """Row-sharded fused VST denoise == single-device VSTDenoiser in the
     interior (identity network, so exactly equal everywhere)."""

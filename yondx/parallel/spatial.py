@@ -283,3 +283,105 @@ def sharded_self_nlf_robust(mesh: Mesh, rggb, k: int = 29,
     mad = sharded_mad_self_estimate(mesh, rggb, axis=axis)
     ref_mean = jnp.mean(jnp.clip(rggb, 0.0, 1.0))
     return combine_estimates(fit, mad, ref_mean, ratio)
+
+
+def sharded_collab_nlf(mesh: Mesh, lr_rggb, dn_rggb, k: int = 29,
+                       axis: str = "data", step: int = 5):
+    """Collaborative NLE on a row-sharded (noisy, denoised-proxy) pair ->
+    (beta1, beta2) replicated scalars.
+
+    Same substitutions as sharded_self_nlf (psum'd log-histogram
+    quantiles, psum'd bucket-min scan and line fit) applied to the collab
+    statistics of nle.nlf.collab_nlf: var = var(lr) - var(dn), intensities
+    and texture from the proxy (reference CollabNLF, YOND_SIDD.py:89-115).
+    """
+    halo = k
+    n_q = 100 // step
+    quants = np.linspace(step, 100, n_q, endpoint=True).astype(np.float32)
+
+    def f(lr, dn):
+        lre = _halo_exchange_rows(lr, halo, axis)
+        dne = _halo_exchange_rows(dn, halo, axis)
+        lr_var = jnp.maximum(stdfilt(lre, k) ** 2, 0.0)
+        mean = box_mean(dne, k)
+        dn_var = stdfilt(dne, k) ** 2
+        sl = slice(halo, lre.shape[0] - halo)
+        m = mean[sl].reshape(-1)
+        v = (lr_var - dn_var)[sl].reshape(-1)
+        t = jnp.sqrt(dn_var[sl]).reshape(-1)
+        ranks_frac = jnp.concatenate([jnp.asarray(quants) / 100.0,
+                                      jnp.asarray([0.25], jnp.float32)])
+        qs = _psum_log_quantiles(t, ranks_frac, axis)
+        ths, th25 = qs[:-1], qs[-1]
+        buckets = (jnp.clip(m, 0.0, 1.0) * 1000).astype(jnp.int32)
+        min_tex = jax.ops.segment_min(t, buckets, num_segments=1001)
+        min_tex = lax.pmin(min_tex, axis)
+        npeaks = jnp.sum(min_tex[None, :] <= ths[:, None], axis=1)
+        npeaks = jnp.maximum(npeaks.astype(jnp.float32), 1.0)
+        score = ths / (jnp.asarray(quants) * npeaks)
+        i = jnp.argmin(score[1:]) + 1
+        th = ths[i]
+        mask = (t < th).astype(jnp.float32)
+        empty = lax.psum(jnp.sum(mask), axis) == 0
+        mask = jnp.where(empty, (t < th25).astype(jnp.float32), mask)
+        w = nonsat_weights_global(m, mask, axis)
+        return _global_linefit(m, v, w, axis)
+
+    fn = jax.shard_map(f, mesh=mesh, in_specs=(P(axis), P(axis)),
+                       out_specs=(P(), P()))
+    return fn(lr_rggb, dn_rggb)
+
+
+def sharded_mad_collab_estimate(mesh: Mesh, lr_rggb, dn_rggb,
+                                axis: str = "data"):
+    """Multi-chip residual wavelet-MAD (nle.robust.mad_collab_estimate):
+    Haar detail of the residual, intensities from the proxy, psum'd
+    (counts, sum_m) sufficient statistic. Row shards must be even-sized
+    (2x2 Haar cells)."""
+    from ..nle.robust import (_band_subsample_rows, _haar_hh,
+                              _mad_histograms, _mad_fit_from_hist,
+                              _MAX_CELLS)
+    from ..nle.threshold import _subsample
+    nsh = mesh.shape[axis]
+
+    def f(lr, dn):
+        assert lr.shape[0] % 2 == 0, \
+            "row shards must be even-sized for 2x2 Haar cells"
+        lrs = _band_subsample_rows(lr.astype(jnp.float32),
+                                   4 * _MAX_CELLS // nsh)
+        dns = _band_subsample_rows(dn.astype(jnp.float32),
+                                   4 * _MAX_CELLS // nsh)
+        d, _ = _haar_hh(lrs - dns)
+        _, m = _haar_hh(dns)
+        d = jnp.abs(d.reshape(-1))
+        m = m.reshape(-1)
+        cap = max(1, _MAX_CELLS // nsh)
+        if d.shape[0] > cap:
+            s = d.shape[0] // cap + 1
+            d = _subsample(d, s)
+            m = _subsample(m, s)
+        dmax = lax.pmax(jnp.max(d), axis) + 1e-30
+        counts, sum_m = _mad_histograms(d, m, dmax)
+        counts = lax.psum(counts, axis)
+        sum_m = lax.psum(sum_m, axis)
+        return _mad_fit_from_hist(counts, sum_m, dmax)
+
+    fn = jax.shard_map(f, mesh=mesh, in_specs=(P(axis), P(axis)),
+                       out_specs=(P(), P()))
+    return fn(lr_rggb, dn_rggb)
+
+
+def sharded_collab_nlf_robust(mesh: Mesh, lr_rggb, dn_rggb, k: int = 29,
+                              axis: str = "data", step: int = 5,
+                              band: float = None):
+    """Multi-chip counterpart of nle.robust.collab_nlf_robust: the collab
+    fit inside the symmetric MAD trust band (robust.COLLAB_BAND) — closes
+    the multi-chip iteration loop with the same semantics as the
+    single-chip engine."""
+    from ..nle.robust import combine_estimates, COLLAB_BAND
+    fit = sharded_collab_nlf(mesh, lr_rggb, dn_rggb, k=k, axis=axis,
+                             step=step)
+    mad = sharded_mad_collab_estimate(mesh, lr_rggb, dn_rggb, axis=axis)
+    ref_mean = jnp.mean(jnp.clip(dn_rggb, 0.0, 1.0))
+    return combine_estimates(fit, mad, ref_mean,
+                             band=band if band is not None else COLLAB_BAND)

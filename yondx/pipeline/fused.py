@@ -217,7 +217,7 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
         # inflate both estimators, so a MAD estimate clearly below the
         # flat-mask fit means the mask leaked texture (no flat regions).
         from ..nle.robust import (mad_self_estimate, mad_collab_estimate,
-                                  combine_estimates, COLLAB_RATIO)
+                                  combine_estimates, COLLAB_BAND)
 
         def self_est(x):
             fit = self_fit(x)
@@ -228,11 +228,11 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
         def collab_est(lr, dn):
             fit = collab_fit(lr, dn)
             mad = mad_collab_estimate(lr, dn)
-            # wider margin than self: the residual MAD can be DEFLATED by
-            # noise retained in dn_raw (see robust.COLLAB_RATIO)
+            # symmetric band, unlike self: the collab var-difference fit
+            # fails in BOTH directions (see robust.COLLAB_BAND)
             return combine_estimates(fit, mad,
                                      jnp.mean(jnp.clip(dn, 0.0, 1.0)),
-                                     ratio=COLLAB_RATIO)
+                                     band=COLLAB_BAND)
     else:
         self_est, collab_est = self_fit, collab_fit
 
