@@ -44,9 +44,12 @@ if tr.epoch >= stop:
 """
 
 
-STALL_SECS = 600   # axon start-wedge: a client sometimes hangs on its
-                   # first dispatch (memory: axon-tunnel-pathologies);
-                   # kill + retry recovers
+STALL_SECS = int(os.environ.get("YONDX_STALL_SECS", 600))
+# axon start-wedge: a client sometimes hangs on its first dispatch
+# (memory: axon-tunnel-pathologies); kill + retry recovers. Raise via
+# YONDX_STALL_SECS when the chunk compiles a BRAND-NEW training graph —
+# a cold compile over the tunnel can exceed 600 s and must not be
+# mistaken for a wedge (the GuidedResUnetS2D fine-tune hit this).
 
 
 def _run_chunk_with_watchdog():
@@ -54,7 +57,7 @@ def _run_chunk_with_watchdog():
     import time
     out = tempfile.NamedTemporaryFile(mode="w+", suffix=".log", delete=False)
     proc = subprocess.Popen(
-        [sys.executable, "-c", CHILD, RUNFILE, str(STOP), str(CHUNK)],
+        [sys.executable, "-u", "-c", CHILD, RUNFILE, str(STOP), str(CHUNK)],
         stdout=out, stderr=subprocess.STDOUT, text=True)
     last_size, last_change = 0, time.time()
     while proc.poll() is None:

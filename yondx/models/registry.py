@@ -20,6 +20,7 @@ MODEL_REGISTRY = {
     "ResUnet2": unets.ResUnet2,
     "SNRnet": unets.SNRnet,
     "GuidedResUnet": unets.GuidedResUnet,
+    "GuidedResUnetS2D": unets.GuidedResUnetS2D,
     "EstUnet": unets.EstUnet,
     "DnCNN": comp.DnCNN,
     "est_UNet": comp.est_UNet,
@@ -32,7 +33,8 @@ MODEL_REGISTRY = {
 
 # Models whose __call__ takes (x, t); mirrors `'guided' in arch` checks
 # (trainer_AWGN.py:101, YOND_SIDD.py:283).
-GUIDED_MODELS = {"GuidedResUnet", "SNRnet", "GuidedSelfUnet"}
+GUIDED_MODELS = {"GuidedResUnet", "GuidedResUnetS2D", "SNRnet",
+                 "GuidedSelfUnet"}
 
 
 def build_model(arch: Dict[str, Any], dtype=None):

@@ -97,6 +97,86 @@ class GuidedResUnet(nn.Module):
                                dtype=self.dtype, name="unet")(x, t)
 
 
+def _s2d2(x):
+    """space_to_depth(2), NHWC: [B,H,W,C] -> [B,H/2,W/2,4C]."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def _d2s2(x):
+    """depth_to_space(2), inverse of _s2d2."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H, W, 2, 2, C // 4)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H * 2, W * 2, C // 4)
+
+
+class GuidedResUnetS2D(nn.Module):
+    """TPU-packed SNR-Net: space-to-depth(2) input so the MXU never sees a
+    32-channel full-resolution conv.
+
+    The reference GuidedResUnet (archs/Unet.py:380-470) spends most of its
+    time in 32-ch convs at full RGGB resolution — the worst MXU geometry
+    on a v5e (lane dim wants >=128 effective channels; round-2/3 roofline
+    measurements in docs/STATUS.md). This variant packs the 4-ch input to
+    16 ch at half resolution, runs a 3-down encoder starting at nf=64 (so
+    the bottleneck sits at the same H/16 as the reference's 4-down nf=32
+    net), and unpacks with depth-to-space at the end. Same parameter count
+    (11.11M vs 11.17M at nf=64/32), same receptive field class, measured
+    2.67x faster forward at bench-frame size (34.1 vs 91.3 ms random-bf16
+    standalone; scripts/unet_roofline.py method).
+
+    Weight compatibility: every encoder/decoder block from scale 2 down in
+    the reference net has an exact shape twin here (conv2<->conv1,
+    conv3<->conv2, conv4<->conv3, conv5<->conv4 bottleneck, dec 256/128/64
+    <->same), so a trained GuidedResUnet checkpoint ports as a warm start
+    (train/s2d_port.py).
+    """
+    args: Dict[str, Any]
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, t):
+        a = self.args
+        nf = a["nf"]          # top-scale features AFTER packing (e.g. 64)
+        out_nc = a.get("out_nc", 4)
+        res = a.get("res", False)
+        norm = a.get("norm", False)
+        lb = ub = None
+        if norm:
+            x, lb, ub = data_normalize(x)
+            if t is not None:
+                t = t / jnp.reshape(ub - lb, (-1,))
+        inp = x
+        h = _s2d2(x)          # [B,H/2,W/2,4*in_nc]
+
+        def block(feat, name):
+            return GuidedResidualBlock(feat, dtype=self.dtype, name=name)
+
+        h = nn.leaky_relu(conv3x3(nf, self.dtype, name="conv_in")(h), 0.01)
+        skips = []
+        feats = [nf, nf * 2, nf * 4]
+        for i, f in enumerate(feats):
+            h = block(f, f"conv{i+1}")(h, t)
+            skips.append(h)
+            h = StridedDown(feats[i + 1] if i + 1 < len(feats) else nf * 8,
+                            self.dtype, name=f"pool{i+1}")(h)
+        h = block(nf * 8, "conv4")(h, t)
+        for i, f in enumerate([nf * 4, nf * 2, nf]):
+            h = UpConvT(f, self.dtype, name=f"upv{5+i}")(h)
+            h = jnp.concatenate([h, skips[-1 - i]], axis=-1)
+            h = block(f, f"conv{5+i}")(h, t)
+        out = conv1x1(4 * out_nc, self.dtype, name="conv_out")(h)
+        out = _d2s2(out)      # [B,H,W,out_nc]
+        if res:
+            out = out + inp[..., :out_nc]
+        if norm:
+            out = data_inv_normalize(out, lb, ub)
+        return out
+
+
 class SNRnet(nn.Module):
     """SNR_Block-bodied variant (reference archs/Unet.py:288-378)."""
     args: Dict[str, Any]
