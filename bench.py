@@ -32,6 +32,13 @@ def make_frame(H=3072, W=4096, seed=7):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="gru32", choices=["gru32", "s2d64"],
+                    help="gru32 = reference-topology flagship (default); "
+                         "s2d64 = GuidedResUnetS2D packed variant (ships "
+                         "only if its held-out gate matches — STATUS)")
+    cli = ap.parse_args()
     import jax
     # persistent compilation cache: repeated bench runs skip the 20-40 s
     # tunnel compile
@@ -49,22 +56,31 @@ def main():
     from yondx.vst.lut import BiasLUT
     from yondx.train.ckpt import find_checkpoint, load_checkpoint
 
-    arch = {"name": "GuidedResUnet", "guided": True, "in_nc": 4,
-            "out_nc": 4, "nf": 32, "nframes": 1, "res": True, "norm": True}
+    if cli.arch == "s2d64":
+        arch = {"name": "GuidedResUnetS2D", "guided": True, "in_nc": 4,
+                "out_nc": 4, "nf": 64, "nframes": 1, "res": True,
+                "norm": True}
+        names = ["Gaussian_GRUS2D_mix_1to50c_norm"]
+    else:
+        arch = {"name": "GuidedResUnet", "guided": True, "in_nc": 4,
+                "out_nc": 4, "nf": 32, "nframes": 1, "res": True,
+                "norm": True}
+        # flagship weights: the round-3 chroma + thin-stroke fine-tune
+        # (chroma_aug raw-gain jitter + v6 stroke class; held-out suite
+        # mean 40.41 -> 43.47 dB, do-no-harm 0 below input on all 14
+        # scenes, chart anchor 36.15 -> 40.42 — docs/STATUS.md), falling
+        # back to the earlier recipes
+        names = ["Gaussian_GRU_mix_1to50c_norm",
+                 "Gaussian_GRU_mix_1to50_norm",
+                 "Gaussian_GRU_mix_5to50_norm"]
     # bf16 compute, fp32 params (MXU-native; PSNR impact is reported below)
     model = build_model(arch, dtype=jnp.bfloat16)
     params = init_params(model, jax.random.PRNGKey(0), (1, 128, 128, 4))
-    # flagship weights: the round-3 chroma + thin-stroke fine-tune
-    # (chroma_aug raw-gain jitter + v6 stroke class; held-out suite mean
-    # 40.41 -> 43.47 dB, do-no-harm 0 below input on all 14 scenes, chart
-    # anchor 36.15 -> 40.42 — docs/STATUS.md), falling back to the earlier
-    # recipes
-    ck = find_checkpoint("checkpoints/Gaussian",
-                         "Gaussian_GRU_mix_1to50c_norm") or \
-        find_checkpoint("checkpoints/Gaussian",
-                        "Gaussian_GRU_mix_1to50_norm") or \
-        find_checkpoint("checkpoints/Gaussian",
-                        "Gaussian_GRU_mix_5to50_norm")
+    ck = None
+    for n in names:
+        ck = find_checkpoint("checkpoints/Gaussian", n)
+        if ck:
+            break
     if ck:
         params = load_checkpoint(ck, params)["params"]
     lut = BiasLUT()

@@ -77,6 +77,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", type=int, default=10)
     ap.add_argument("--nf", type=int, default=32)
+    ap.add_argument("--arch", default="GuidedResUnet",
+                    help="arch name (e.g. GuidedResUnetS2D with --nf 64)")
     ap.add_argument("--model", default="Gaussian_GRU_mix_5to50_norm")
     ap.add_argument("--ckpt-dir", default="checkpoints/Gaussian")
     ap.add_argument("--bf16", action="store_true")
@@ -98,7 +100,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/yondx_xla_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    arch = {"name": "GuidedResUnet", "guided": True, "in_nc": 4,
+    arch = {"name": args.arch, "guided": True, "in_nc": 4,
             "out_nc": 4, "nf": args.nf, "nframes": 1, "res": True,
             "norm": True}
     model = build_model(arch, dtype=jnp.bfloat16 if args.bf16 else None)
