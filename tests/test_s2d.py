@@ -38,6 +38,30 @@ def test_s2d_pack_roundtrip():
                                   np.asarray(x))
 
 
+def test_s2d_in_fused_pipeline():
+    """The packed net drives the full fused blind pipeline (NLE -> bias ->
+    VST -> net -> inverse -> collab -> round 1) unchanged — the engine is
+    architecture-agnostic as long as pad_base covers the net's total
+    downsample factor (s2d(2) x 3 pools = 16, pad_base 32)."""
+    from yondx.pipeline.fused import make_fused_blind_denoiser
+    from yondx.vst.lut import BiasLUT
+    from yondx.isp import bayer2rggb
+    m = build_model(_arch("GuidedResUnetS2D", 8))
+    p = init_params(m, jax.random.PRNGKey(0), (1, 64, 64, 4))
+    rng = np.random.default_rng(3)
+    levels = rng.random((4, 4)) * 0.6 + 0.05
+    clean = np.kron(levels, np.ones((64, 64)))
+    noisy = np.clip(clean + rng.normal(0, 0.03, clean.shape), 0,
+                    1).astype(np.float32)
+    fused = make_fused_blind_denoiser(m, p, BiasLUT().lut, guided=True,
+                                      bias_corr="pre", max_iter=1)
+    dn, regs = fused(bayer2rggb(jnp.asarray(noisy))[None],
+                     jnp.float32(959.0))
+    assert dn.shape == (1, 128, 128, 4)
+    assert np.all(np.isfinite(np.asarray(dn)))
+    assert np.asarray(regs).shape == (2, 2)
+
+
 def test_s2d_port_from_flagship():
     """The port copies every shape-twin stage bit-exactly and leaves only
     the packing-boundary layers fresh."""
