@@ -114,6 +114,30 @@ def test_combine_band_unit():
     assert float(b1) == float(fit[0])
 
 
+def test_shape_consistent_collab_unit():
+    """Shape repair (robust.shape_consistent_collab): a band-passing fit
+    whose beta2 is inconsistent with BOTH the self estimate and the MAD
+    gets the MAD's slope/intercept split rescaled to the fit's total; a
+    consistent fit and a MAD-chosen combine stay untouched."""
+    from yondx.nle.robust import shape_consistent_collab
+    ref = jnp.float32(0.076)
+    # the held-out zone_lo numbers (probe): fit b2 72x true, mad split sane
+    fit = (jnp.float32(3.61e-4), jnp.float32(1.23e-5))
+    mad = (jnp.float32(5.26e-4), jnp.float32(0.0))
+    self_reg = (jnp.float32(6.39e-4), jnp.float32(1.07e-7))
+    b1, b2 = shape_consistent_collab(fit, fit, mad, ref, self_reg)
+    v_fit = float(fit[0]) * float(ref) + float(fit[1])
+    assert float(b2) == 0.0                       # mad's split adopted
+    assert abs(float(b1) * float(ref) - v_fit) < 1e-9 * 1 + 1e-7  # total kept
+    # consistent fit: untouched
+    fit2 = (jnp.float32(6e-4), jnp.float32(2e-7))
+    b1, b2 = shape_consistent_collab(fit2, fit2, mad, ref, self_reg)
+    assert float(b1) == float(fit2[0]) and float(b2) == float(fit2[1])
+    # combine already chose the MAD: untouched
+    b1, b2 = shape_consistent_collab(mad, fit, mad, ref, self_reg)
+    assert float(b1) == float(mad[0]) and float(b2) == float(mad[1])
+
+
 def test_collab_band_rescues_black_clip_mask_trap():
     """Regression for the held-out ramp_lo iteration-1 collapse (probe,
     17:40 session log): when the flat mask concentrates on BLACK-CLIPPED

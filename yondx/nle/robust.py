@@ -305,13 +305,51 @@ def self_nlf_robust(lr_rggb, k: int = 29, step: int = 5,
     return combine_estimates(fit, mad, ref_mean, ratio)
 
 
+def shape_consistent_collab(comb, fit, mad, ref_mean, self_reg,
+                            b2_ratio: float = 4.0):
+    """Fix the collab fit's slope/intercept SPLIT when its total passes
+    the trust band but its intercept is physically inconsistent.
+
+    Held-out zone_lo (probe, session log): fit (3.6e-4, 1.23e-5) vs true
+    (6.3e-4, 1.7e-7) — the total at the intensity mass center is inside
+    the band (0.90x of the MAD), but beta2 is 72x true, so every DARK
+    pixel gets denoised at a wildly wrong amplitude (-2.3 dB on the
+    scene). Detection: the round-0 SELF estimate's beta2 (inflate-only,
+    MAD-cross-checked) and the collab MAD's beta2 are both independent
+    references; a fit beta2 above `b2_ratio` x BOTH is a shape artifact,
+    not read noise. Repair: keep the band-agreed total v(ref_mean) but
+    adopt the MAD's split — scale the MAD line to the fit's value at the
+    mass center. No-op when the band already chose the MAD (comb == mad
+    componentwise) or the MAD is invalid."""
+    b1c, b2c = comb
+    b1f, b2f = fit
+    b1m, b2m = mad
+    b2s = self_reg[1]
+    chose_fit = (b1c == b1f) & (b2c == b2f)
+    suspect = b2f > b2_ratio * jnp.maximum(jnp.maximum(b2s, b2m), 1e-9)
+    v_fit = b1f * ref_mean + b2f
+    v_mad = b1m * ref_mean + b2m
+    s = v_fit / jnp.maximum(v_mad, 1e-30)
+    fix = chose_fit & suspect & jnp.isfinite(v_mad)
+    return (jnp.where(fix, b1m * s, b1c),
+            jnp.where(fix, b2m * s, b2c))
+
+
 def collab_nlf_robust(lr_rggb, dn_rggb, k: int = 29, step: int = 5,
-                      band: float = COLLAB_BAND):
-    """CollabNLF with the symmetric MAD cross-check on the residual."""
+                      band: float = COLLAB_BAND, self_reg=None):
+    """CollabNLF with the symmetric MAD cross-check on the residual.
+
+    `self_reg` (round-0 (beta1, beta2), optional): enables the
+    shape-consistency repair of `shape_consistent_collab`."""
     from .nlf import collab_nlf
     lr = lr_rggb.astype(jnp.float32)
     dn = dn_rggb.astype(jnp.float32)
     fit = collab_nlf(lr, dn, k=k, step=step)
     mad = mad_collab_estimate(lr, dn)
     ref_mean = jnp.mean(jnp.clip(dn, 0.0, 1.0))
-    return combine_estimates(fit, mad, ref_mean, band=band)
+    comb = combine_estimates(fit, mad, ref_mean, band=band)
+    if self_reg is not None:
+        comb = shape_consistent_collab(comb, fit, mad, ref_mean,
+                                       (jnp.float32(self_reg[0]),
+                                        jnp.float32(self_reg[1])))
+    return comb

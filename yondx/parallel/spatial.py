@@ -373,15 +373,22 @@ def sharded_mad_collab_estimate(mesh: Mesh, lr_rggb, dn_rggb,
 
 def sharded_collab_nlf_robust(mesh: Mesh, lr_rggb, dn_rggb, k: int = 29,
                               axis: str = "data", step: int = 5,
-                              band: float = None):
+                              band: float = None, self_reg=None):
     """Multi-chip counterpart of nle.robust.collab_nlf_robust: the collab
-    fit inside the symmetric MAD trust band (robust.COLLAB_BAND) — closes
-    the multi-chip iteration loop with the same semantics as the
+    fit inside the symmetric MAD trust band (robust.COLLAB_BAND), plus
+    the shape-consistency repair when the round-0 `self_reg` is given —
+    closes the multi-chip iteration loop with the same semantics as the
     single-chip engine."""
-    from ..nle.robust import combine_estimates, COLLAB_BAND
+    from ..nle.robust import (combine_estimates, COLLAB_BAND,
+                              shape_consistent_collab)
     fit = sharded_collab_nlf(mesh, lr_rggb, dn_rggb, k=k, axis=axis,
                              step=step)
     mad = sharded_mad_collab_estimate(mesh, lr_rggb, dn_rggb, axis=axis)
     ref_mean = jnp.mean(jnp.clip(dn_rggb, 0.0, 1.0))
-    return combine_estimates(fit, mad, ref_mean,
+    comb = combine_estimates(fit, mad, ref_mean,
                              band=band if band is not None else COLLAB_BAND)
+    if self_reg is not None:
+        comb = shape_consistent_collab(comb, fit, mad, ref_mean,
+                                       (jnp.float32(self_reg[0]),
+                                        jnp.float32(self_reg[1])))
+    return comb

@@ -97,12 +97,13 @@ class YONDEngine:
             b1, b2 = self_nlf(rggb, k=self.pipe.k)
         return float(b1), float(b2)
 
-    def _estimate_collab(self, lr_bayer, dn_bayer) -> tuple:
+    def _estimate_collab(self, lr_bayer, dn_bayer, self_reg=None) -> tuple:
         rggb_lr = bayer2rggb(jnp.asarray(lr_bayer, jnp.float32))
         rggb_dn = bayer2rggb(jnp.asarray(dn_bayer, jnp.float32))
         if self.pipe.extras.get("robust_nle", True):
             from ..nle.robust import collab_nlf_robust
-            b1, b2 = collab_nlf_robust(rggb_lr, rggb_dn, k=self.pipe.k)
+            b1, b2 = collab_nlf_robust(rggb_lr, rggb_dn, k=self.pipe.k,
+                                       self_reg=self_reg)
         else:
             b1, b2 = collab_nlf(rggb_lr, rggb_dn, k=self.pipe.k)
         return float(b1), float(b2)
@@ -229,7 +230,7 @@ class YONDEngine:
         # ---- Rounds 2..max_iter: collaborative re-calibration
         if pipe.iter == "iter":
             for epoch in range(1, pipe.max_iter + 1):
-                reg = self._estimate_collab(lr, dn_raw)
+                reg = self._estimate_collab(lr, dn_raw, self_reg=regs[0])
                 if reg[1] < 0:
                     log(f"Warning!!! b={reg[1]:.4f} is backup to "
                         f"{reg[0] ** 2:.4f}", logfile=self.logfile)

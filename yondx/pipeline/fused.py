@@ -217,7 +217,8 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
         # inflate both estimators, so a MAD estimate clearly below the
         # flat-mask fit means the mask leaked texture (no flat regions).
         from ..nle.robust import (mad_self_estimate, mad_collab_estimate,
-                                  combine_estimates, COLLAB_BAND)
+                                  combine_estimates, COLLAB_BAND,
+                                  shape_consistent_collab)
 
         def self_est(x):
             fit = self_fit(x)
@@ -225,16 +226,22 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             return combine_estimates(fit, mad,
                                      jnp.mean(jnp.clip(x, 0.0, 1.0)))
 
-        def collab_est(lr, dn):
+        def collab_est(lr, dn, self_reg=None):
             fit = collab_fit(lr, dn)
             mad = mad_collab_estimate(lr, dn)
+            ref_mean = jnp.mean(jnp.clip(dn, 0.0, 1.0))
             # symmetric band, unlike self: the collab var-difference fit
             # fails in BOTH directions (see robust.COLLAB_BAND)
-            return combine_estimates(fit, mad,
-                                     jnp.mean(jnp.clip(dn, 0.0, 1.0)),
-                                     band=COLLAB_BAND)
+            comb = combine_estimates(fit, mad, ref_mean, band=COLLAB_BAND)
+            if self_reg is not None:
+                comb = shape_consistent_collab(comb, fit, mad, ref_mean,
+                                               self_reg)
+            return comb
     else:
-        self_est, collab_est = self_fit, collab_fit
+        self_est = self_fit
+
+        def collab_est(lr, dn, self_reg=None):
+            return collab_fit(lr, dn)
 
     def fused_body(rggb, scale):
         b1, b2 = self_est(rggb)
@@ -249,7 +256,7 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             # YOND_SIDD.py:89-115) — the refined output has method-noise
             # blended back, which inflates stdfilt(dn) and destabilizes
             # the round-2 fit
-            c1, c2 = collab_est(rggb, dn_raw)
+            c1, c2 = collab_est(rggb, dn_raw, self_reg=(b1, b2))
             # guard: beta2 < 0 -> beta1^2 (YOND_SIDD.py:438-440)
             c2 = jnp.where(c2 < 0, c1 ** 2, c2)
             ok = c1 > 0  # beta1 < 0 -> keep previous round (:445-447)

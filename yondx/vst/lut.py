@@ -249,8 +249,14 @@ def _cheb_static(M: int = CHEB_M):
     T = np.cos(np.outer(np.arccos(s), j))      # [M(node), M(order)]
     dct = (2.0 / M) * T.T                      # c = dct @ f(nodes)
     dct[0] *= 0.5
-    return (jnp.asarray(pos_nodes.astype(np.float32)),
-            jnp.asarray(dct.astype(np.float32)))
+    # NUMPY on purpose: a jnp.asarray here would device_put at IMPORT
+    # time, initializing the default backend before the caller can pick
+    # one (jax.config.update('jax_platforms', ...) after `import yondx`
+    # came too late) — measured hanging every CPU-forced script when the
+    # TPU tunnel was down, and silently opening a second TPU client next
+    # to a live trainer otherwise. jnp converts these tiny constants
+    # inside the first traced call instead.
+    return (pos_nodes.astype(np.float32), dct.astype(np.float32))
 
 _CHEB_POS_NODES, _CHEB_DCT = _cheb_static()
 
@@ -258,12 +264,12 @@ _CHEB_POS_NODES, _CHEB_DCT = _cheb_static()
 def cheb_fit_curve(curve):
     """Per-call: sample the [2177] curve at the Chebyshev nodes (a tiny
     gather) and return the series coefficients [CHEB_M]."""
-    pos = _CHEB_POS_NODES
+    pos = jnp.asarray(_CHEB_POS_NODES)
     lo = jnp.floor(pos).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, curve.shape[0] - 1)
     w = pos - lo
     f = curve[lo] * (1.0 - w) + curve[hi] * w
-    return _CHEB_DCT @ f
+    return jnp.asarray(_CHEB_DCT) @ f
 
 
 def lookup_bias_curve_cheb(x_dn, coeffs, K):
