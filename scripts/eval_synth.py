@@ -88,6 +88,9 @@ def main():
     ap.add_argument("--heldout", action="store_true",
                     help="run the frozen generator-disjoint suite "
                          "(yondx.eval.heldout) instead of ad-hoc scenes")
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="with --heldout: also dump the per-scene rows + "
+                         "summary as JSON (cross-round tracking artifact)")
     ap.add_argument("--refine", default=None, choices=["local", "fixed"],
                     help="method-noise Wiener refinement (pipeline/refine"
                          ".py) with the given noise floor — the product "
@@ -120,7 +123,14 @@ def main():
 
     if args.heldout:
         from yondx.eval.heldout import run_heldout
-        run_heldout(eng)
+        rows = run_heldout(eng)
+        if args.json:
+            import json
+            with open(args.json, "w") as f:
+                json.dump({"model": args.model, "arch": args.arch,
+                           "refine": args.refine, "rows": rows}, f,
+                          indent=1)
+            log(f"wrote {args.json}")
         return
 
     stats = {0: [], 1: []}
