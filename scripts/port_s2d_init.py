@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--dst", default="Gaussian_GRUS2D_mix_1to50c_norm")
     ap.add_argument("--ckpt-dir", default="checkpoints/Gaussian")
     ap.add_argument("--nf", type=int, default=64)
+    ap.add_argument("--out-k", type=int, default=1,
+                    help="conv_out kernel size (1 or 3)")
     args = ap.parse_args()
 
     src_arch = {"name": "GuidedResUnet", "guided": True, "in_nc": 4,
@@ -47,7 +49,7 @@ def main():
 
     dst_arch = {"name": "GuidedResUnetS2D", "guided": True, "in_nc": 4,
                 "out_nc": 4, "nf": args.nf, "nframes": 1, "res": True,
-                "norm": True}
+                "norm": True, "out_k": args.out_k}
     dst_model = build_model(dst_arch)
     dst_params = init_params(dst_model, jax.random.PRNGKey(1),
                              (1, 128, 128, 4))

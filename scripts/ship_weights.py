@@ -10,7 +10,13 @@ from yondx.train.ckpt import load_checkpoint, save_checkpoint
 
 
 def main():
-    pairs = sys.argv[1:] or [
+    argv = sys.argv[1:]
+    if argv:  # consecutive src dst pairs; a lone src ships in place
+        if len(argv) % 2:
+            argv.append(argv[-1])
+        pairs = list(zip(argv[0::2], argv[1::2]))
+    else:
+        pairs = [
         ("checkpoints/Gaussian/Gaussian_GRU_mix_5to50_norm_best_model.ckpt",
          "checkpoints/Gaussian/Gaussian_GRU_mix_5to50_norm_best_model.ckpt"),
         ("checkpoints/Gaussian/Gaussian_Unet_mix_5to50_norm_best_model.ckpt",

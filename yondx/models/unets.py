@@ -168,7 +168,14 @@ class GuidedResUnetS2D(nn.Module):
             h = UpConvT(f, self.dtype, name=f"upv{5+i}")(h)
             h = jnp.concatenate([h, skips[-1 - i]], axis=-1)
             h = block(f, f"conv{5+i}")(h, t)
-        out = conv1x1(4 * out_nc, self.dtype, name="conv_out")(h)
+        # conv_out: arch key 'out_k' (default 1) sets the kernel size. 3
+        # widens the tail's full-res receptive field to 6x6 (vs 2x2 for a
+        # 1x1 conv) — the packed net has no full-res skip path, so the
+        # unpacking conv is its only chance to reconstruct sub-cell detail;
+        # cost is negligible at R/2 (64->16 ch).
+        out_k = a.get("out_k", 1)
+        out = (conv3x3 if out_k == 3 else conv1x1)(
+            4 * out_nc, self.dtype, name="conv_out")(h)
         out = _d2s2(out)      # [B,H,W,out_nc]
         if res:
             out = out + inp[..., :out_nc]

@@ -139,6 +139,39 @@ class AWGNTrainer:
         # the chroma tail directly in raw space.
         self.chroma_aug = "chroma_aug" in self.command
 
+        # optional distillation (args 'distill' block): a frozen TEACHER
+        # net's output replaces/augments the GT target. Used to transfer
+        # the flagship GuidedResUnet into the packed GuidedResUnetS2D: the
+        # ported interior stages are the teacher's own weights, so training
+        # only the packing-boundary layers against the teacher's OUTPUT
+        # (freeze: 'ported') fits the adapter directly instead of
+        # re-learning the denoising prior from noisy/GT pairs.
+        #   distill: {teacher_arch: {...}, teacher_ckpt: name,
+        #             weight: 1.0, gt_weight: 0.0, freeze: 'ported'|[names]}
+        self.distill = args.get("distill")
+        self.teacher_params = None
+        self._frozen = frozenset()
+        if self.distill:
+            t_arch = self.distill["teacher_arch"]
+            self.teacher_model = build_model(t_arch, dtype=dtype)
+            t_params = init_params(
+                self.teacher_model, jax.random.PRNGKey(1),
+                (1, net_ps, net_ps, t_arch["in_nc"]), guided=True)
+            t_ck = find_checkpoint(self.fast_ckpt,
+                                   self.distill["teacher_ckpt"])
+            assert t_ck, f"teacher ckpt {self.distill['teacher_ckpt']}"
+            t_params = load_checkpoint(t_ck, t_params)["params"]
+            self.teacher_params = replicate(self.mesh, t_params)
+            frz = self.distill.get("freeze", [])
+            if frz == "ported":
+                from .s2d_port import S2D_PORT_MAP
+                frz = list(S2D_PORT_MAP)
+            self._frozen = frozenset(frz or [])
+            log(f"distill: teacher={t_ck} w={self.distill.get('weight', 1.0)}"
+                f" gt_w={self.distill.get('gt_weight', 0.0)}"
+                f" frozen={len(self._frozen)} stages",
+                logfile=self.logfile)
+
         # no donation: params is also passed as the ema snapshot
         self._train_step = jax.jit(self._make_train_step())
         self._eval_step = jax.jit(self._make_eval_step())
@@ -157,13 +190,23 @@ class AWGNTrainer:
         smin, smax = self.sigma_min, self.sigma_max
         consistency = self.consistency
         tx = self.tx
+        distill = self.distill
+        teacher_model = getattr(self, "teacher_model", None)
+        teacher_params = self.teacher_params
+        d_w = float(distill.get("weight", 1.0)) if distill else 0.0
+        gt_w = float(distill.get("gt_weight", 0.0)) if distill else 1.0
+        frozen = self._frozen
 
         def loss_fn(params, lr, hr, sigma, ema_params, key, use_consistency):
             if guided:
                 pred = model.apply(params, lr, sigma)
             else:
                 pred = model.apply(params, lr)
-            loss = unet_loss(pred, hr)
+            loss = gt_w * unet_loss(pred, hr)
+            if distill:
+                t_pred = jax.lax.stop_gradient(
+                    teacher_model.apply(teacher_params, lr, sigma))
+                loss = loss + d_w * jnp.mean(jnp.abs(pred - t_pred))
             if consistency:
                 # second noisy view through the epoch-start snapshot
                 # (trainer_AWGN.py:103-108,114-115)
@@ -226,6 +269,15 @@ class AWGNTrainer:
                                        ema_params, k_cons, use_consistency)
             opt_state.hyperparams["learning_rate"] = lr_value
             updates, opt_state = tx.update(grads, opt_state, params)
+            if frozen:
+                # zero the update on frozen stages (adapter-only phase of a
+                # distillation transfer); top-level module names under
+                # 'params'
+                updates = dict(updates)
+                updates["params"] = {
+                    k: (jax.tree.map(jnp.zeros_like, v) if k in frozen
+                        else v)
+                    for k, v in dict(updates["params"]).items()}
             params = optax.apply_updates(params, updates)
             m = psnr_loss(jnp.clip(pred, 0, 1), jnp.clip(hr, 0, 1))
             # first-sample visualization payload (fetched only on dump
