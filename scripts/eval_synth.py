@@ -81,6 +81,8 @@ def main():
                     help="arch name (e.g. GuidedResUnetS2D with --nf 64)")
     ap.add_argument("--model", default="Gaussian_GRU_mix_5to50_norm")
     ap.add_argument("--ckpt-dir", default="checkpoints/Gaussian")
+    ap.add_argument("--out-k", type=int, default=None,
+                    help="conv_out kernel size override (S2D archs)")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--content", default="flat",
@@ -106,6 +108,8 @@ def main():
     arch = {"name": args.arch, "guided": True, "in_nc": 4,
             "out_nc": 4, "nf": args.nf, "nframes": 1, "res": True,
             "norm": True}
+    if args.out_k is not None:
+        arch["out_k"] = args.out_k
     model = build_model(arch, dtype=jnp.bfloat16 if args.bf16 else None)
     params = init_params(model, jax.random.PRNGKey(0), (1, 128, 128, 4))
     ck = find_checkpoint(args.ckpt_dir, args.model)
