@@ -59,8 +59,9 @@ def main():
     if cli.arch == "s2d64":
         arch = {"name": "GuidedResUnetS2D", "guided": True, "in_nc": 4,
                 "out_nc": 4, "nf": 64, "nframes": 1, "res": True,
-                "norm": True}
-        names = ["Gaussian_GRUS2D_mix_1to50c_norm"]
+                "norm": True, "out_k": 3}
+        # the two-phase distillation ckpt (out_k=3 conv_out)
+        names = ["Gaussian_GRUS2D3_mix_1to50c_norm"]
     else:
         arch = {"name": "GuidedResUnet", "guided": True, "in_nc": 4,
                 "out_nc": 4, "nf": 32, "nframes": 1, "res": True,
