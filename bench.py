@@ -38,6 +38,10 @@ def main():
                     help="gru32 = reference-topology flagship (default); "
                          "s2d64 = GuidedResUnetS2D packed variant (ships "
                          "only if its held-out gate matches — STATUS)")
+    ap.add_argument("--nle-max-px", type=int, default=None,
+                    help="override the fused path's banded-NLE sample "
+                         "budget (0 = full-frame moments, i.e. banding "
+                         "off; default = the library default)")
     cli = ap.parse_args()
     import jax
     # persistent compilation cache: repeated bench runs skip the 20-40 s
@@ -86,8 +90,11 @@ def main():
         params = load_checkpoint(ck, params)["params"]
     lut = BiasLUT()
 
+    kw = {}
+    if cli.nle_max_px is not None:
+        kw["nle_max_px"] = cli.nle_max_px or None
     fused = make_fused_blind_denoiser(model, params, lut.lut, guided=True,
-                                      bias_corr="pre", max_iter=1)
+                                      bias_corr="pre", max_iter=1, **kw)
 
     noisy, clean = make_frame()
     H, W = noisy.shape

@@ -81,12 +81,14 @@ def device_bias_curve(lut, K, sigma, lut_sgext=None):
 def _nlf_core(var, mean, texture, step: int, th_impl: str = "sort",
               th_subsample=None):
     if th_subsample is None:
-        # auto: exact on small scenes (engine parity), stride-8 threshold
+        # auto: exact on small scenes (engine parity), strided threshold
         # selection on multi-MP frames (the sort + segment_min are ~60% of
-        # NLE time there; a stride-8 subsample of >=4M samples shifts the
-        # selected percentile by O(1e-3) quantile — far below the 5%-step
-        # candidate grid)
-        th_subsample = 1 if texture.size < 4_000_000 else 8
+        # NLE time there; a strided subsample of millions of samples
+        # shifts the selected percentile by O(1e-3) quantile — far below
+        # the 5%-step candidate grid). The middle tier covers the banded
+        # moment fields of `_band_plan` (2-8M samples).
+        th_subsample = 1 if texture.size < 2_000_000 else \
+            (4 if texture.size < 8_000_000 else 8)
     th, th25 = score3_threshold_with_p25(texture, mean, step=step,
                                          impl=th_impl,
                                          subsample=th_subsample)
@@ -96,6 +98,50 @@ def _nlf_core(var, mean, texture, step: int, th_impl: str = "sort",
     mask = jnp.where(jnp.sum(mask) == 0, jnp.ones_like(mask), mask)
     w = nonsat_weights(mean, mask)
     return masked_linefit(mean, var, w)
+
+
+_NLE_BAND = 256     # rows per NLE moment band (see _band_plan)
+
+
+def _band_plan(shape, max_px, band: int, margin: int):
+    """Static plan for contiguous-row-band NLE moment sampling.
+
+    The flat-mask NLE (nle_moments + threshold + linefit) is a statistical
+    fit: on a multi-MP frame, computing the k=29 box moments over EVERY
+    window spends tens of ms of HBM bandwidth to shrink an already-tiny
+    sampling error. Instead, filter evenly-spaced contiguous row bands
+    independently and crop `margin` rows (the filter radius) off each
+    band's output: every surviving window is the full-frame moment value
+    at that row up to fp32 prefix-sum rounding (bands are contiguous
+    original rows; the short band cumsum actually rounds LESS than the
+    full-frame one — tests/test_banded_nle.py), so the downstream
+    threshold/fit just sees a uniform row-subsample of the moment fields
+    — the same cost model as the robust path's `_band_subsample_rows`
+    (nle/robust.py), but window-exact rather than border-reflected.
+    Returns None (no banding) or (nb, keep, stride).
+    """
+    if max_px is None:
+        return None
+    h, w = shape[-3], shape[-2]
+    per_row = int(np.prod([s for i, s in enumerate(shape) if i not in
+                           (len(shape) - 3, len(shape) - 2)],
+                          dtype=np.int64)) * w
+    if h * per_row <= max_px or h < 3 * band:
+        return None
+    nb = h // band
+    eff = (band - 2 * margin) * per_row
+    keep = max(1, min(nb, max_px // max(eff, 1)))
+    if keep >= nb:
+        return None
+    return nb, keep, nb // keep
+
+
+def _take_bands(x, nb: int, keep: int, stride: int, band: int):
+    """[..., h, w, C] -> [..., keep, band, w, C] evenly-strided row bands."""
+    lead = x.shape[:-3]
+    w, C = x.shape[-2], x.shape[-1]
+    xb = x[..., :nb * band, :, :].reshape(lead + (nb, band, w, C))
+    return xb[..., ::stride, :, :, :][..., :keep, :, :, :]
 
 
 def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
@@ -112,7 +158,8 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
                               refine: bool = False, refine_k: int = 15,
                               refine_beta: float = 1.0,
                               refine_floor: str = "local",
-                              robust_nle: bool = True):
+                              robust_nle: bool = True,
+                              nle_max_px=1 << 22):
     """Build jit fn(rggb [B,h,w,4], scale) -> (dn [B,h,w,4], regs [...,2]).
 
     `lut` is captured as a device constant (8.5 MB, lives in HBM).
@@ -200,14 +247,32 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
     else:
         from ..nle.boxfilter import nle_moments, mean_varfilt, varfilt
         inner = k // 3 * 2 + 1
+        # band margins = the moment chains' total filter radius: banded
+        # outputs inside the margin are bit-equal to the full-frame values
+        m_self = k // 2 + inner // 2     # mean/var/texture chain
+        m_collab = k // 2                # varfilt / mean_varfilt only
 
         def self_fit(x):
+            plan = _band_plan(x.shape, nle_max_px, _NLE_BAND, m_self)
+            if plan is not None:
+                x = _take_bands(x, *plan, _NLE_BAND)
             mean, var, tex = nle_moments(x, k, inner)
+            if plan is not None:
+                mean, var, tex = (a[..., m_self:-m_self, :, :]
+                                  for a in (mean, var, tex))
             return _nlf_core(var, mean, tex, step, th_impl, th_subsample)
 
         def collab_fit(lr, dn):
+            plan = _band_plan(lr.shape, nle_max_px, _NLE_BAND, m_collab)
+            if plan is not None:
+                lr = _take_bands(lr, *plan, _NLE_BAND)
+                dn = _take_bands(dn, *plan, _NLE_BAND)
             lr_var = jnp.maximum(varfilt(lr, k), 0.0)
             mean_dn, dn_var = mean_varfilt(dn, k)
+            if plan is not None:
+                lr_var, mean_dn, dn_var = (a[..., m_collab:-m_collab, :, :]
+                                           for a in (lr_var, mean_dn,
+                                                     dn_var))
             var = lr_var - dn_var
             return _nlf_core(var, mean_dn, jnp.sqrt(dn_var), step, th_impl,
                              th_subsample)
