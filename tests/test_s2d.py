@@ -83,3 +83,30 @@ def test_s2d_port_from_flagship():
     y = dst_m.apply(merged, jnp.zeros((1, 64, 64, 4), jnp.float32),
                     jnp.full((1,), 0.1, jnp.float32))
     assert y.shape == (1, 64, 64, 4)
+
+
+def test_s2d_tail_zero_init_identity_and_extend():
+    """tail_nf>0 adds a full-res refinement tail whose second conv is
+    ZERO-init, so (a) a freshly-extended net is bit-identical to the
+    tail-less net, and (b) extend_with_tail ports a tail-less checkpoint
+    into the tail variant verbatim."""
+    from yondx.train.s2d_port import extend_with_tail
+    base_m = build_model(_arch("GuidedResUnetS2D", 8))
+    base_p = init_params(base_m, jax.random.PRNGKey(3), (1, 64, 64, 4))
+    arch_t = dict(_arch("GuidedResUnetS2D", 8), tail_nf=8)
+    tail_m = build_model(arch_t)
+    tail_p = init_params(tail_m, jax.random.PRNGKey(9), (1, 64, 64, 4))
+    assert {"tail_1", "tail_2"} <= set(tail_p["params"])
+    merged = extend_with_tail(base_p, tail_p)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 4)),
+                    jnp.float32)
+    t = jnp.full((2,), 0.07, jnp.float32)
+    y0 = np.asarray(base_m.apply(base_p, x, t))
+    y1 = np.asarray(tail_m.apply(merged, x, t))
+    np.testing.assert_array_equal(y0, y1)
+    # and a non-zero tail_2 actually changes the output (the tail is live)
+    live = jax.tree_util.tree_map(lambda v: v, merged)
+    live["params"]["tail_2"]["kernel"] = (
+        np.ones_like(live["params"]["tail_2"]["kernel"]) * 1e-2)
+    y2 = np.asarray(tail_m.apply(live, x, t))
+    assert np.abs(y2 - y0).max() > 1e-6

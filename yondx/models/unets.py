@@ -179,6 +179,25 @@ class GuidedResUnetS2D(nn.Module):
         out = _d2s2(out)      # [B,H,W,out_nc]
         if res:
             out = out + inp[..., :out_nc]
+        # Optional full-resolution tail (arch key 'tail_nf', default 0 =
+        # off): two 3x3 convs over [output, noisy input] with a ZERO-INIT
+        # second kernel, so the tail is exactly identity at init and an
+        # existing tail-less checkpoint ports by zero-injection
+        # (train/s2d_port.py extend_with_tail). Motivation: the packed net
+        # reconstructs each 2x2 phase from half-res features; phase
+        # disagreement inside a cell shows up as grid-frequency error on
+        # smooth content (scripts/probe_s2d_phase.py: grid_share ~0.6 of
+        # the s2d MSE on ramps/bubbles). A full-res stage that sees all
+        # phases post-unpacking is the cheapest mechanism that can cancel
+        # it (~16 ch at full res — lane-poor but only 2 thin layers).
+        tail_nf = a.get("tail_nf", 0)
+        if tail_nf:
+            tin = jnp.concatenate([out, inp[..., :out_nc]], axis=-1)
+            th = nn.leaky_relu(
+                conv3x3(tail_nf, self.dtype, name="tail_1")(tin), 0.01)
+            out = out + nn.Conv(
+                out_nc, (3, 3), padding="SAME", dtype=self.dtype,
+                kernel_init=nn.initializers.zeros, name="tail_2")(th)
         if norm:
             out = data_inv_normalize(out, lb, ub)
         return out

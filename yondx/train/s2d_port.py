@@ -37,6 +37,31 @@ def _as_mutable(d):
         return d
 
 
+def extend_with_tail(src_params: Any, dst_params: Any) -> Any:
+    """Port a tail-less GuidedResUnetS2D checkpoint into the tail_nf>0
+    variant: every pre-existing stage copies over verbatim; the tail
+    stages keep `dst_params`'s fresh init (tail_2 is zero-init in the
+    arch, so the extended net's output is BIT-IDENTICAL to the source
+    checkpoint's until the tail trains). Raises on any non-tail mismatch."""
+    src = jax.device_get(src_params)["params"]
+    dst = jax.device_get(dst_params)["params"]
+    dst = {k: _as_mutable(v) for k, v in dict(dst).items()}
+    for name in dst:
+        if name.startswith("tail_"):
+            continue
+        if name not in src:
+            raise KeyError(f"stage {name} missing from source checkpoint")
+        for (p_d, l_d), (p_s, l_s) in zip(
+                jax.tree_util.tree_leaves_with_path(dst[name]),
+                jax.tree_util.tree_leaves_with_path(src[name])):
+            if p_d != p_s or np.shape(l_d) != np.shape(l_s):
+                raise ValueError(f"stage {name} is not a shape twin: "
+                                 f"{p_d}{np.shape(l_d)} vs "
+                                 f"{p_s}{np.shape(l_s)}")
+        dst[name] = jax.tree_util.tree_map(np.asarray, src[name])
+    return {"params": dst}
+
+
 def port_guidedresunet_to_s2d(src_params: Any, dst_params: Any
                               ) -> Tuple[Any, List[str], List[str]]:
     """Copy every shape-twin subtree of `src_params` (GuidedResUnet, with
