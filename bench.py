@@ -34,9 +34,11 @@ def make_frame(H=3072, W=4096, seed=7):
 def main():
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument("--arch", default="gru32", choices=["gru32", "s2d64"],
+    ap.add_argument("--arch", default="gru32",
+                    choices=["gru32", "s2d64", "s2dt16"],
                     help="gru32 = reference-topology flagship (default); "
-                         "s2d64 = GuidedResUnetS2D packed variant (ships "
+                         "s2d64 = GuidedResUnetS2D packed variant; s2dt16 "
+                         "= packed variant + full-res tail (each ships "
                          "only if its held-out gate matches — STATUS)")
     ap.add_argument("--nle-max-px", type=int, default=None,
                     help="override the fused path's banded-NLE sample "
@@ -60,12 +62,16 @@ def main():
     from yondx.vst.lut import BiasLUT
     from yondx.train.ckpt import find_checkpoint, load_checkpoint
 
-    if cli.arch == "s2d64":
+    if cli.arch in ("s2d64", "s2dt16"):
         arch = {"name": "GuidedResUnetS2D", "guided": True, "in_nc": 4,
                 "out_nc": 4, "nf": 64, "nframes": 1, "res": True,
                 "norm": True, "out_k": 3}
-        # the two-phase distillation ckpt (out_k=3 conv_out)
+        # the two-phase distillation ckpt (out_k=3 conv_out); s2dt16 adds
+        # the zero-init full-res tail trained in the tail-only phase
         names = ["Gaussian_GRUS2D3_mix_1to50c_norm"]
+        if cli.arch == "s2dt16":
+            arch["tail_nf"] = 16
+            names = ["Gaussian_GRUS2DT_mix_1to50c_norm"]
     else:
         arch = {"name": "GuidedResUnet", "guided": True, "in_nc": 4,
                 "out_nc": 4, "nf": 32, "nframes": 1, "res": True,

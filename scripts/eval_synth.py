@@ -83,6 +83,8 @@ def main():
     ap.add_argument("--ckpt-dir", default="checkpoints/Gaussian")
     ap.add_argument("--out-k", type=int, default=None,
                     help="conv_out kernel size override (S2D archs)")
+    ap.add_argument("--tail-nf", type=int, default=None,
+                    help="full-res tail width (S2D tail variant)")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--content", default="flat",
@@ -110,6 +112,8 @@ def main():
             "norm": True}
     if args.out_k is not None:
         arch["out_k"] = args.out_k
+    if args.tail_nf is not None:
+        arch["tail_nf"] = args.tail_nf
     model = build_model(arch, dtype=jnp.bfloat16 if args.bf16 else None)
     params = init_params(model, jax.random.PRNGKey(0), (1, 128, 128, 4))
     ck = find_checkpoint(args.ckpt_dir, args.model)
