@@ -92,6 +92,11 @@ def main():
     ap.add_argument("--heldout", action="store_true",
                     help="run the frozen generator-disjoint suite "
                          "(yondx.eval.heldout) instead of ad-hoc scenes")
+    ap.add_argument("--suite", default="v1", choices=["v1", "v2"],
+                    help="held-out suite version: v1 = the 15 round-3 "
+                         "scenes (cross-round comparable), v2 = 36 "
+                         "scenes incl. second seeds, high-noise band "
+                         "and a 1024-px tier")
     ap.add_argument("--json", default=None, metavar="PATH",
                     help="with --heldout: also dump the per-scene rows + "
                          "summary as JSON (cross-round tracking artifact)")
@@ -131,13 +136,13 @@ def main():
 
     if args.heldout:
         from yondx.eval.heldout import run_heldout
-        rows = run_heldout(eng)
+        rows = run_heldout(eng, suite=args.suite)
         if args.json:
             import json
             with open(args.json, "w") as f:
                 json.dump({"model": args.model, "arch": args.arch,
-                           "refine": args.refine, "rows": rows}, f,
-                          indent=1)
+                           "refine": args.refine, "suite": args.suite,
+                           "rows": rows}, f, indent=1)
             log(f"wrote {args.json}")
         return
 

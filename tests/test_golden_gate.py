@@ -127,8 +127,13 @@ def test_golden_gate_vs_reference_pipeline(shipped_flax, ref_pipeline):
 
     den = VSTDenoiser(model, params, guided=True, bias_corr="pre",
                       vst_type="exact")
-    eng = YONDEngine(den, PipelineConfig(est_type="simple", max_iter=1),
-                     biaslut=BiasLUT(os.path.abspath(LUT_NPY)))
+    # iter_policy 'replace' = the reference's own round semantics (the
+    # product default may blend/guard rounds; this test verifies parity
+    # of the raw machinery against the reference, so pin replace)
+    eng = YONDEngine(den, PipelineConfig(
+        est_type="simple", max_iter=1,
+        extras={"iter_policy": "replace"}),
+        biaslut=BiasLUT(os.path.abspath(LUT_NPY)))
     res = eng.iter_denoise(
         {"lr": noisy},
         {"wp": 1023, "bl": 64, "ratio": 1, "scale": 959.0,

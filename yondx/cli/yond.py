@@ -49,6 +49,13 @@ def build_parser():
     p.add_argument("--wp", type=int, default=1023)
     p.add_argument("--bl", type=int, default=64)
     p.add_argument("--ratio", type=float, default=1.0)
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="ANY mode: row-shard the frame over an N-device "
+                        "mesh (parallel.product) instead of overlap-"
+                        "tiling on one chip")
+    p.add_argument("--tile", type=int, default=1024,
+                   help="ANY mode: overlap-tile size in bayer px "
+                        "(single-chip route)")
     return p
 
 
@@ -199,9 +206,13 @@ class YOND:
 
     def denoise_any(self, path: str, out: str | None = None):
         from ..eval.fullframe import denoise_any
+        mesh = None
+        if self.parser.mesh:
+            from ..parallel import make_mesh
+            mesh = make_mesh(self.parser.mesh)
         return denoise_any(self.engine, path, wp=self.parser.wp,
                            bl=self.parser.bl, ratio=self.parser.ratio,
-                           out_path=out)
+                           tile=self.parser.tile, out_path=out, mesh=mesh)
 
     def benchmark(self, limit=None):
         from ..eval.sidd import SIDDEvalHarness

@@ -16,8 +16,11 @@ trainer_AWGN.py:43-61 — SURVEY.md §2.10). The TPU-native equivalent:
 """
 from .mesh import make_mesh, shard_batch, replicate
 from .spatial import (sharded_box_stats, spatial_denoise_sharded,
+                      spatial_denoise_sharded_pair,
                       sharded_mad_self_estimate, sharded_self_nlf_robust)
+from .product import iter_denoise_frame_sharded
 
 __all__ = ["make_mesh", "shard_batch", "replicate",
            "sharded_box_stats", "spatial_denoise_sharded",
+           "spatial_denoise_sharded_pair", "iter_denoise_frame_sharded",
            "sharded_mad_self_estimate", "sharded_self_nlf_robust"]

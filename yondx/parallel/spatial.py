@@ -186,19 +186,31 @@ def _global_linefit(x, y, w, axis: str):
     return jnp.where(ok, b1, 0.0), jnp.where(ok, b2, 0.0)
 
 
-def spatial_denoise_sharded(mesh: Mesh, apply_fn: Callable, params,
-                            rggb, curve, K, sigma, scale,
-                            halo: int = 64, axis: str = "data",
-                            bias_corr: str | None = "pre",
-                            exact_inverse: bool = False,
-                            sigma_corr: float = 1.03,
-                            guided: bool = True):
-    """Row-sharded fused VST denoise of one huge RGGB frame.
+def spatial_denoise_sharded_pair(mesh: Mesh, apply_fn: Callable, params,
+                                 rggb, curve, K, sigma, scale,
+                                 halo: int = 64, axis: str = "data",
+                                 bias_corr: str | None = "pre",
+                                 exact_inverse: bool = False,
+                                 sigma_corr: float = 1.03,
+                                 guided: bool = True,
+                                 refine: bool = False,
+                                 refine_k: int = 15,
+                                 refine_beta: float = 1.0,
+                                 refine_floor: str = "local"):
+    """Row-sharded fused VST denoise of one huge RGGB frame ->
+    (output, raw_net_output), the VSTDenoiser.denoise_pair analog.
 
     Each chip holds H/n rows; `halo` rows (rggb domain) are exchanged over
     ICI before the network so the UNet's receptive field crosses shard
     boundaries; the halo is cropped after. Shapes must satisfy
     (H/n + 2*halo) % 32 == 0 for the UNet scales (choose halo accordingly).
+
+    refine=True also runs the method-noise Wiener refinement
+    (pipeline/refine.py) INSIDE the exchanged-halo region, so its box
+    window and local-floor erosion (width 4k+3) see neighbor rows; with
+    the default halo=64 > (4*15+3)/2 + 15 the refined interior matches the
+    single-device result except for the floor's residual boundary taper,
+    which the product's 1% tolerance absorbs (tests/test_product_50mp).
     """
     def f(x, curve_l, K_l, sigma_l, scale_l):
         xd = x * scale_l
@@ -217,18 +229,50 @@ def spatial_denoise_sharded(mesh: Mesh, apply_fn: Callable, params,
             out = apply_fn(params, zin, t)
         else:
             out = apply_fn(params, zin)
-        out = jnp.clip(out[0], 0.0, 1.0)[halo:-halo]
-        z = out * (upper - lower) + lower
-        xd = inverse_vst(z, sigma_l, gain=K_l, exact=exact_inverse)
-        return jnp.clip(xd / scale_l, 0.0, 1.0)
+        out = jnp.clip(out[0], 0.0, 1.0)
+        z_raw = out[halo:-halo]
+        if refine:
+            from ..pipeline.refine import wiener_refine
+            # z_noisy is the UNCLIPPED normalized input, matching
+            # VSTDenoiser._denoise's residual definition
+            zr = wiener_refine(out, ze,
+                               noise_var=nsr ** 2, k=refine_k,
+                               beta=refine_beta, x01=out,
+                               noise_floor=refine_floor)
+            z_fin = zr[halo:-halo]
+        else:
+            z_fin = z_raw
+
+        def finish(zz):
+            zz = zz * (upper - lower) + lower
+            xx = inverse_vst(zz, sigma_l, gain=K_l, exact=exact_inverse)
+            return jnp.clip(xx / scale_l, 0.0, 1.0)
+
+        return finish(z_fin), finish(z_raw)
 
     # params/apply_fn are closed over: shard_map treats closed-over arrays
     # as fully replicated — exactly right for the net weights.
     fn = jax.shard_map(f, mesh=mesh,
                        in_specs=(P(axis), P(), P(), P(), P()),
-                       out_specs=P(axis))
+                       out_specs=(P(axis), P(axis)))
     return fn(rggb, jnp.asarray(curve, jnp.float32), jnp.float32(K),
               jnp.float32(sigma), jnp.float32(scale))
+
+
+def spatial_denoise_sharded(mesh: Mesh, apply_fn: Callable, params,
+                            rggb, curve, K, sigma, scale,
+                            halo: int = 64, axis: str = "data",
+                            bias_corr: str | None = "pre",
+                            exact_inverse: bool = False,
+                            sigma_corr: float = 1.03,
+                            guided: bool = True):
+    """Single-output wrapper of spatial_denoise_sharded_pair (raw net
+    output path, no refinement) — kept for existing callers/tests."""
+    return spatial_denoise_sharded_pair(
+        mesh, apply_fn, params, rggb, curve, K, sigma, scale,
+        halo=halo, axis=axis, bias_corr=bias_corr,
+        exact_inverse=exact_inverse, sigma_corr=sigma_corr,
+        guided=guided, refine=False)[0]
 
 
 def sharded_mad_self_estimate(mesh: Mesh, rggb, axis: str = "data"):

@@ -229,6 +229,10 @@ class YONDEngine:
 
         # ---- Rounds 2..max_iter: collaborative re-calibration
         if pipe.iter == "iter":
+            from .policy import (combine_rounds, reg_agreement,
+                                 DEFAULT_POLICY, DEFAULT_TOL)
+            policy = pipe.extras.get("iter_policy", DEFAULT_POLICY)
+            tol = float(pipe.extras.get("iter_policy_tol", DEFAULT_TOL))
             for epoch in range(1, pipe.max_iter + 1):
                 reg = self._estimate_collab(lr, dn_raw, self_reg=regs[0])
                 if reg[1] < 0:
@@ -244,9 +248,89 @@ class YONDEngine:
                     log("Warning!!! Wrong noise level! Backup to iter_0 "
                         "result.", logfile=self.logfile)
                     break
+                prev = dn
                 dn, dn_raw = self._denoise_round(lr, p, hr=dn)
                 dn, dn_raw = np.asarray(dn), np.asarray(dn_raw)
+                agree = float(reg_agreement(
+                    regs[-1], reg, float(np.mean(dn_raw))))
+                dn = np.asarray(combine_rounds(prev, dn, agree,
+                                               policy=policy, tol=tol))
+                log(f"Iter {epoch} policy={policy} "
+                    f"disagree={agree:+.3f} (tol {tol})",
+                    logfile=self.logfile)
                 raw_dns.append(dn.copy())
                 regs.append(reg)
 
+        return {"raw_dns": raw_dns, "regs": regs}
+
+    def iter_denoise_tiled(self, data: Dict[str, Any], p: Dict[str, Any],
+                           tile: int = 1024, halo: int = 64,
+                           batch: int = 8) -> Dict[str, Any]:
+        """Full iterative pipeline on ONE huge frame via the overlap-tiled
+        runner (reference full_dn semantics, YOND_SIDD.py:391-467): NLE on
+        the WHOLE frame, denoise tiled, collab NLE on the whole (noisy,
+        round-0 raw) pair, tiled second pass, same guards + iteration
+        policy as iter_denoise. This is the 12-50 MP product path on one
+        chip; the multi-chip analog is parallel.product.
+
+        data: {'lr': [H, W] bayer in [0, 1]}; p as in iter_denoise.
+        """
+        from .runner import TiledRunner
+        from .policy import (combine_rounds, reg_agreement,
+                             DEFAULT_POLICY, DEFAULT_TOL)
+        pipe = self.pipe
+        lr = np.asarray(data["lr"], np.float32)
+        if "rot_cfa" in p:
+            lr = np.asarray(rot_bayer(jnp.asarray(lr), p["cfa"]))
+        runner = TiledRunner(self.denoiser, tile=tile, halo=halo,
+                             batch=batch)
+
+        def one_pass(frame, pp):
+            pp["gain"] = max(pp["gain"], 1e-4)
+            curve = self.biaslut.curve(pp["gain"], pp["sigma"]) \
+                if pipe.bias_corr else np.zeros(len(FULL_X_GRID),
+                                                np.float32)
+            return runner.run_pair(frame, curve, pp["gain"], pp["sigma"],
+                                   pp["scale"])
+
+        reg = self._estimate_self(lr)
+        p["gain"] = reg[0] * (p["wp"] - p["bl"])
+        p["sigma"] = float(np.sqrt(max(reg[1], 0.0))) * (p["wp"] - p["bl"])
+        log(f"Self Est (tiled frame): K={p['gain']:.4f}, "
+            f"b={p['sigma']:.4f} (beta1={reg[0]:.3e}, beta2={reg[1]:.3e})",
+            logfile=self.logfile)
+        regs: List[tuple] = [reg]
+        dn, dn_raw = one_pass(lr, p)
+        raw_dns = [dn.copy()]
+
+        if pipe.iter == "iter":
+            policy = pipe.extras.get("iter_policy", DEFAULT_POLICY)
+            tol = float(pipe.extras.get("iter_policy_tol", DEFAULT_TOL))
+            for epoch in range(1, pipe.max_iter + 1):
+                reg = self._estimate_collab(lr, dn_raw, self_reg=regs[0])
+                if reg[1] < 0:
+                    log(f"Warning!!! b={reg[1]:.4f} is backup to "
+                        f"{reg[0] ** 2:.4f}", logfile=self.logfile)
+                    reg = (reg[0], reg[0] ** 2)
+                p["gain"] = reg[0] * (p["wp"] - p["bl"])
+                p["sigma"] = float(np.sqrt(reg[1])) * (p["wp"] - p["bl"])
+                log(f"Iter {epoch} Est (tiled): K={p['gain']:.4f}, "
+                    f"sigma={p['sigma']:.4f} (beta1={reg[0]:.3e}, "
+                    f"beta2={reg[1]:.3e})", logfile=self.logfile)
+                if reg[0] < 0:
+                    log("Warning!!! Wrong noise level! Backup to iter_0 "
+                        "result.", logfile=self.logfile)
+                    break
+                prev = dn
+                dn, dn_raw = one_pass(lr, p)
+                agree = float(reg_agreement(
+                    regs[-1], reg, float(np.mean(dn_raw))))
+                dn = np.asarray(combine_rounds(prev, dn, agree,
+                                               policy=policy, tol=tol))
+                raw_dns.append(dn.copy())
+                regs.append(reg)
+
+        if "rot_cfa" in p:
+            raw_dns = [np.asarray(rot_bayer(jnp.asarray(d), p["cfa"],
+                                            rev=True)) for d in raw_dns]
         return {"raw_dns": raw_dns, "regs": regs}

@@ -159,7 +159,9 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
                               refine_beta: float = 1.0,
                               refine_floor: str = "local",
                               robust_nle: bool = True,
-                              nle_max_px=1 << 22):
+                              nle_max_px=1 << 22,
+                              iter_policy: str = None,
+                              iter_policy_tol: float = None):
     """Build jit fn(rggb [B,h,w,4], scale) -> (dn [B,h,w,4], regs [...,2]).
 
     `lut` is captured as a device constant (8.5 MB, lives in HBM).
@@ -308,6 +310,11 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
         def collab_est(lr, dn, self_reg=None):
             return collab_fit(lr, dn)
 
+    from .policy import (combine_rounds, reg_agreement, DEFAULT_POLICY,
+                         DEFAULT_TOL)
+    policy = iter_policy if iter_policy is not None else DEFAULT_POLICY
+    ptol = iter_policy_tol if iter_policy_tol is not None else DEFAULT_TOL
+
     def fused_body(rggb, scale):
         b1, b2 = self_est(rggb)
         b1 = jnp.maximum(b1, 1e-4 / scale)  # defensive K clamp
@@ -328,6 +335,12 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             K1 = jnp.maximum(c1, 1e-4 / scale) * scale
             sig1 = jnp.sqrt(c2) * scale
             dn1, dn1_raw = denoise(rggb, K1, sig1, scale)
+            # iteration policy (pipeline/policy.py): the previous round's
+            # reg is regs[-1]; the agreement scalar decides whether the
+            # second pass carries information or just re-rolls method noise
+            agree = reg_agreement((regs[-1][0], regs[-1][1]), (c1, c2),
+                                  jnp.mean(jnp.clip(dn_raw, 0.0, 1.0)))
+            dn1 = combine_rounds(dn, dn1, agree, policy=policy, tol=ptol)
             dn = jnp.where(ok, dn1, dn)
             dn_raw = jnp.where(ok, dn1_raw, dn_raw)
             regs.append(jnp.where(ok, jnp.stack([c1, c2]), regs[-1]))

@@ -40,6 +40,12 @@ class TiledRunner:
         self.batch = batch
 
     def __call__(self, bayer: np.ndarray, curve, K, sigma, scale):
+        return self.run_pair(bayer, curve, K, sigma, scale)[0]
+
+    def run_pair(self, bayer: np.ndarray, curve, K, sigma, scale):
+        """-> (output, raw_net_output) full frames: the raw (un-refined)
+        one feeds the whole-frame collab NLE of an iterated tiled run
+        (same contract as VSTDenoiser.denoise_pair)."""
         H, W = bayer.shape
         tiles, plan = np_tile_overlap(bayer, self.tile, self.halo)
         ny, nx, _, _ = tile_grid(H, W, self.tile, self.halo)
@@ -49,18 +55,26 @@ class TiledRunner:
         if nb != n:
             tiles = np.concatenate(
                 [tiles, np.repeat(tiles[-1:], nb - n, axis=0)], axis=0)
-        outs = []
+        pair = getattr(self.denoiser, "denoise_pair", None)
+        outs, raws = [], []
         for s in range(0, nb, self.batch):
             chunk = jnp.asarray(tiles[s:s + self.batch])
-            dn = self.denoiser(chunk, curve, K, sigma, scale)
+            if pair is not None:
+                dn, dn_raw = pair(chunk, curve, K, sigma, scale)
+            else:
+                dn = self.denoiser(chunk, curve, K, sigma, scale)
+                dn_raw = dn
             outs.append(np.asarray(dn))
-        out_tiles = np.concatenate(outs, axis=0)[:n]
-        # merge: crop halo, stitch
-        t = self.tile
-        h = self.halo
-        out = np.empty((ny * t, nx * t), np.float32)
-        for iy in range(ny):
-            for ix in range(nx):
-                out[iy * t:(iy + 1) * t, ix * t:(ix + 1) * t] = \
-                    out_tiles[iy * nx + ix, h:h + t, h:h + t]
-        return out[:H, :W]
+            raws.append(np.asarray(dn_raw))
+
+        def merge(tiles_list):
+            out_tiles = np.concatenate(tiles_list, axis=0)[:n]
+            t, h = self.tile, self.halo
+            out = np.empty((ny * t, nx * t), np.float32)
+            for iy in range(ny):
+                for ix in range(nx):
+                    out[iy * t:(iy + 1) * t, ix * t:(ix + 1) * t] = \
+                        out_tiles[iy * nx + ix, h:h + t, h:h + t]
+            return out[:H, :W]
+
+        return merge(outs), merge(raws)
