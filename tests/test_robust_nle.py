@@ -204,3 +204,32 @@ def test_band_subsample_large_frame_accuracy():
     assert abs(v_est - v_true) < 0.12 * v_true
     # slope/intercept individually sane (gradient spans many buckets)
     assert abs(float(b1) - beta1) < 0.25 * beta1
+
+
+def test_mad_noise_floor_calibration():
+    """Content-free low-quantile noise floor (the rescue policy's
+    discriminator): reads sigma on pure noise and on gradients, ZERO on
+    clean stroke content (the case the bucket-median fit mis-reads) and
+    on clipped frames."""
+    from yondx.nle.robust import mad_noise_floor
+    rng = np.random.default_rng(0)
+    sig = 0.01
+    x = np.clip(0.5 + rng.normal(0, sig, (512, 512, 4)), 0,
+                1).astype(np.float32)
+    f = float(mad_noise_floor(jnp.asarray(x)))
+    assert abs(f - sig) < 0.1 * sig
+    # thin-stroke glyph content, no noise -> 0 (background cells win)
+    img = np.full((512, 512, 4), 0.4, np.float32)
+    for gy in range(4, 480, 24):
+        for gx in range(4, 480, 24):
+            img[gy:gy + 12, gx:gx + 2] = 0.9
+            img[gy:gy + 2, gx:gx + 12] = 0.9
+    assert float(mad_noise_floor(jnp.asarray(img))) < 1e-4
+    # clipped-black frame -> 0, not a fake floor
+    assert float(mad_noise_floor(jnp.zeros((256, 256, 4)))) == 0.0
+    # noise on a smooth gradient -> still sigma
+    yy, xx = np.mgrid[0:512, 0:512].astype(np.float32) / 512
+    g = np.stack([0.2 + 0.5 * xx] * 4, -1) + \
+        rng.normal(0, sig, (512, 512, 4))
+    f2 = float(mad_noise_floor(jnp.asarray(np.clip(g, 0, 1))))
+    assert abs(f2 - sig) < 0.1 * sig

@@ -241,6 +241,37 @@ def mad_self_estimate(rggb):
     return mad_pg_fit(*_maybe_subsample(d, m))
 
 
+def mad_noise_floor(rggb, q: float = 0.2):
+    """Content-free LOWER bound on a frame's noise std (normalized
+    units): the q-th quantile of Haar |detail| over mid-tone cells,
+    calibrated by the half-normal quantile factor sqrt(2)*erfinv(q).
+
+    Why a LOW quantile instead of the per-bucket median fit
+    (mad_self_estimate): content inflates only the cells it touches, and
+    it can concentrate in specific intensity buckets — on stroke-dense
+    glyph scenes the foreground buckets are mostly stroke-edge cells, so
+    even per-bucket medians read strokes as noise (measured round 4: the
+    bucket-fit scored a smooth denoised glyph frame at 0.275x its noise
+    model where every other scene scored 0.002-0.018). A global q=0.2
+    quantile lands in the flattest 20% of cells whatever their
+    intensity; mixture contamination can only push the reading UP by a
+    bounded factor (<= q-remap), and clipped cells (m < 0.02 or > 0.9,
+    genuinely sub-noise) are excluded so black frames do not fake a
+    floor. Used by the iteration policy's under-smoothing discriminator
+    (pipeline/policy.py dn0_noise_frac)."""
+    from jax.scipy.special import erfinv
+    x = _band_subsample_rows(rggb.astype(jnp.float32), 4 * _MAX_CELLS)
+    d, m = _haar_hh(x)
+    d, m = _maybe_subsample(jnp.abs(d), m)
+    valid = (m > 0.02) & (m < 0.9)
+    dv = jnp.where(valid, d, jnp.inf)
+    n = jnp.sum(valid)
+    ds = jnp.sort(dv)
+    idx = jnp.clip((q * n).astype(jnp.int32), 0, ds.shape[0] - 1)
+    sigma = ds[idx] / (jnp.sqrt(2.0) * erfinv(jnp.float32(q)))
+    return jnp.where(n > 16, sigma, 0.0)
+
+
 def mad_collab_estimate(lr_rggb, dn_rggb):
     """Robust re-estimate from a (noisy, denoised) pair: Haar detail of
     the RESIDUAL (over-smoothing error is low-pass, so its detail is

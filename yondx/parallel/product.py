@@ -105,8 +105,11 @@ def iter_denoise_frame_sharded(mesh: Mesh, engine, bayer: np.ndarray,
     outs = [dn]
 
     if pipe.iter == "iter":
+        from ..pipeline.policy import DEFAULT_NOISE_FRAC
         policy = pipe.extras.get("iter_policy", DEFAULT_POLICY)
         tol = float(pipe.extras.get("iter_policy_tol", DEFAULT_TOL))
+        nf_tol = float(pipe.extras.get("iter_policy_noise_frac",
+                                       DEFAULT_NOISE_FRAC))
         for epoch in range(1, pipe.max_iter + 1):
             c1, c2 = (float(v) for v in sharded_collab_nlf_robust(
                 mesh, x, dn_raw, k=pipe.k, axis=axis, self_reg=regs[0]))
@@ -122,13 +125,19 @@ def iter_denoise_frame_sharded(mesh: Mesh, engine, bayer: np.ndarray,
                 log("Warning!!! Wrong noise level! Backup to iter_0 "
                     "result.", logfile=engine.logfile)
                 break
-            prev = dn
+            prev, prev_raw = dn, dn_raw
+            mu = float(jnp.mean(jnp.clip(prev_raw, 0.0, 1.0)))
+            agree = float(reg_agreement(regs[-1], (c1, c2), mu))
+            frac = None
+            if policy == "rescue":
+                from ..nle.robust import mad_noise_floor
+                floor = float(mad_noise_floor(prev_raw))
+                frac = floor ** 2 / max(c1 * mu + c2, 1e-30)
             dn, dn_raw = one_pass(c1 * dn_units,
                                   float(np.sqrt(c2)) * dn_units)
-            agree = float(reg_agreement(
-                regs[-1], (c1, c2),
-                float(jnp.mean(jnp.clip(dn_raw, 0.0, 1.0)))))
-            dn = combine_rounds(prev, dn, agree, policy=policy, tol=tol)
+            dn = combine_rounds(prev, dn, agree, policy=policy, tol=tol,
+                                dn0_noise_frac=frac,
+                                noise_frac_tol=nf_tol)
             outs.append(dn)
             regs.append((c1, c2))
 

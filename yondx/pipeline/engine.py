@@ -171,6 +171,19 @@ class YONDEngine:
             dn_raw = rot_bayer(dn_raw, p["cfa"], rev=True)
         return dn, dn_raw
 
+    def _dn0_noise_frac(self, dn_raw_bayer, collab_reg, mu: float) -> float:
+        """Blind noise-floor measurement ON the round-0 raw output, as a
+        fraction of the collab noise model — the rescue policy's
+        under-smoothing discriminator (pipeline/policy.py). Uses the
+        content-free low-quantile floor (nle.robust.mad_noise_floor):
+        the bucket-median fit reads preserved stroke detail as noise
+        (glyphs class), the flat-cell floor does not."""
+        from ..nle.robust import mad_noise_floor
+        rggb = bayer2rggb(jnp.asarray(dn_raw_bayer, jnp.float32))
+        floor = float(mad_noise_floor(rggb))
+        v_col = collab_reg[0] * mu + collab_reg[1]
+        return floor ** 2 / max(v_col, 1e-30)
+
     # -------------------------------------------------------------- main
     def iter_denoise(self, data: Dict[str, Any], p: Dict[str, Any],
                      img_id: int = 0) -> Dict[str, Any]:
@@ -230,9 +243,12 @@ class YONDEngine:
         # ---- Rounds 2..max_iter: collaborative re-calibration
         if pipe.iter == "iter":
             from .policy import (combine_rounds, reg_agreement,
-                                 DEFAULT_POLICY, DEFAULT_TOL)
+                                 DEFAULT_POLICY, DEFAULT_TOL,
+                                 DEFAULT_NOISE_FRAC)
             policy = pipe.extras.get("iter_policy", DEFAULT_POLICY)
             tol = float(pipe.extras.get("iter_policy_tol", DEFAULT_TOL))
+            nf_tol = float(pipe.extras.get("iter_policy_noise_frac",
+                                           DEFAULT_NOISE_FRAC))
             for epoch in range(1, pipe.max_iter + 1):
                 reg = self._estimate_collab(lr, dn_raw, self_reg=regs[0])
                 if reg[1] < 0:
@@ -248,15 +264,20 @@ class YONDEngine:
                     log("Warning!!! Wrong noise level! Backup to iter_0 "
                         "result.", logfile=self.logfile)
                     break
-                prev = dn
+                prev, prev_raw = dn, dn_raw
+                mu = float(np.mean(prev_raw))
+                agree = float(reg_agreement(regs[-1], reg, mu))
+                frac = self._dn0_noise_frac(prev_raw, reg, mu) \
+                    if policy == "rescue" else None
                 dn, dn_raw = self._denoise_round(lr, p, hr=dn)
                 dn, dn_raw = np.asarray(dn), np.asarray(dn_raw)
-                agree = float(reg_agreement(
-                    regs[-1], reg, float(np.mean(dn_raw))))
-                dn = np.asarray(combine_rounds(prev, dn, agree,
-                                               policy=policy, tol=tol))
+                dn = np.asarray(combine_rounds(
+                    prev, dn, agree, policy=policy, tol=tol,
+                    dn0_noise_frac=frac, noise_frac_tol=nf_tol))
                 log(f"Iter {epoch} policy={policy} "
-                    f"disagree={agree:+.3f} (tol {tol})",
+                    f"disagree={agree:+.3f} (tol {tol})"
+                    + (f" dn0_noise_frac={frac:.3f} ({nf_tol})"
+                       if frac is not None else ""),
                     logfile=self.logfile)
                 raw_dns.append(dn.copy())
                 regs.append(reg)
@@ -306,6 +327,9 @@ class YONDEngine:
         if pipe.iter == "iter":
             policy = pipe.extras.get("iter_policy", DEFAULT_POLICY)
             tol = float(pipe.extras.get("iter_policy_tol", DEFAULT_TOL))
+            from .policy import DEFAULT_NOISE_FRAC
+            nf_tol = float(pipe.extras.get("iter_policy_noise_frac",
+                                           DEFAULT_NOISE_FRAC))
             for epoch in range(1, pipe.max_iter + 1):
                 reg = self._estimate_collab(lr, dn_raw, self_reg=regs[0])
                 if reg[1] < 0:
@@ -321,12 +345,15 @@ class YONDEngine:
                     log("Warning!!! Wrong noise level! Backup to iter_0 "
                         "result.", logfile=self.logfile)
                     break
-                prev = dn
+                prev, prev_raw = dn, dn_raw
+                mu = float(np.mean(prev_raw))
+                agree = float(reg_agreement(regs[-1], reg, mu))
+                frac = self._dn0_noise_frac(prev_raw, reg, mu) \
+                    if policy == "rescue" else None
                 dn, dn_raw = one_pass(lr, p)
-                agree = float(reg_agreement(
-                    regs[-1], reg, float(np.mean(dn_raw))))
-                dn = np.asarray(combine_rounds(prev, dn, agree,
-                                               policy=policy, tol=tol))
+                dn = np.asarray(combine_rounds(
+                    prev, dn, agree, policy=policy, tol=tol,
+                    dn0_noise_frac=frac, noise_frac_tol=nf_tol))
                 raw_dns.append(dn.copy())
                 regs.append(reg)
 

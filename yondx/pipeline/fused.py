@@ -311,7 +311,7 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             return collab_fit(lr, dn)
 
     from .policy import (combine_rounds, reg_agreement, DEFAULT_POLICY,
-                         DEFAULT_TOL)
+                         DEFAULT_TOL, DEFAULT_NOISE_FRAC)
     policy = iter_policy if iter_policy is not None else DEFAULT_POLICY
     ptol = iter_policy_tol if iter_policy_tol is not None else DEFAULT_TOL
 
@@ -336,11 +336,20 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             sig1 = jnp.sqrt(c2) * scale
             dn1, dn1_raw = denoise(rggb, K1, sig1, scale)
             # iteration policy (pipeline/policy.py): the previous round's
-            # reg is regs[-1]; the agreement scalar decides whether the
-            # second pass carries information or just re-rolls method noise
+            # reg is regs[-1]; the signed agreement scalar + the blind
+            # MAD noise measurement ON dn0 decide whether the second pass
+            # carries information or just re-rolls method noise
+            mu = jnp.mean(jnp.clip(dn_raw, 0.0, 1.0))
             agree = reg_agreement((regs[-1][0], regs[-1][1]), (c1, c2),
-                                  jnp.mean(jnp.clip(dn_raw, 0.0, 1.0)))
-            dn1 = combine_rounds(dn, dn1, agree, policy=policy, tol=ptol)
+                                  mu)
+            frac = None
+            if policy == "rescue":
+                from ..nle.robust import mad_noise_floor
+                floor = mad_noise_floor(dn_raw)
+                frac = floor ** 2 / jnp.maximum(c1 * mu + c2, 1e-30)
+            dn1 = combine_rounds(dn, dn1, agree, policy=policy, tol=ptol,
+                                 dn0_noise_frac=frac,
+                                 noise_frac_tol=DEFAULT_NOISE_FRAC)
             dn = jnp.where(ok, dn1, dn)
             dn_raw = jnp.where(ok, dn1_raw, dn_raw)
             regs.append(jnp.where(ok, jnp.stack([c1, c2]), regs[-1]))

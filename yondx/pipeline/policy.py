@@ -31,6 +31,17 @@ exactly when collab says the noise was UNDERestimated by more than
 Collab below self (the over-estimate direction) keeps round 0 — the
 refinement already banked that information.
 
+One more condition separates a TRUE under-estimate from its impostor.
+On stroke-dense content (the glyphs held-out class) BOTH estimators are
+inflated by content and collab comes back above self — a fake
+"under-estimate" signal (measured round 4: rescue replaced it1 on
+glyphs_lo and broke do-no-harm by 0.05 dB). The discriminator is the
+round-0 OUTPUT itself: after a real under-estimate the net leaves
+residual noise in dn0, so a blind MAD estimate ON dn0 returns a
+significant fraction of the collab level; after over-smoothing, dn0 is
+smooth and measures ~0. `dn0_noise_frac` (engine-supplied
+mad(dn0)/v_collab) gates the rescue on that physical signature.
+
 Policies (all blind, all jit-safe arithmetic on a SIGNED disagreement):
 - 'replace'   reference semantics: it1 wins (golden-gate parity mode).
 - 'avg'       0.5 * dn0 + 0.5 * dn1 unconditionally.
@@ -45,6 +56,10 @@ import jax.numpy as jnp
 POLICIES = ("replace", "avg", "guard", "avg_guard", "rescue")
 DEFAULT_POLICY = "rescue"
 DEFAULT_TOL = 0.15
+# rescue fires only when the round-0 output still carries at least this
+# fraction of the collab noise level (true under-smoothing signature);
+# a well-denoised dn0 measures ~0.05-0.1 of its noise model here
+DEFAULT_NOISE_FRAC = 0.15
 
 
 def reg_agreement(self_reg, collab_reg, mean_intensity):
@@ -61,12 +76,16 @@ def reg_agreement(self_reg, collab_reg, mean_intensity):
 
 
 def combine_rounds(dn0, dn1, disagree, policy: str = DEFAULT_POLICY,
-                   tol: float = DEFAULT_TOL):
+                   tol: float = DEFAULT_TOL, dn0_noise_frac=None,
+                   noise_frac_tol: float = DEFAULT_NOISE_FRAC):
     """Combine the round-0 and round-1 outputs per the policy.
 
     dn0/dn1: arrays (any matching shape); disagree: SIGNED scalar from
-    `reg_agreement`. Pure arithmetic — safe inside jit (the engine calls
-    it on numpy arrays, the fused path on traced values).
+    `reg_agreement`; dn0_noise_frac: optional scalar, the blind MAD noise
+    estimate ON dn0 relative to the collab model (rescue fires only when
+    it exceeds noise_frac_tol — the true under-smoothing signature).
+    Pure arithmetic — safe inside jit (the engine calls it on numpy
+    arrays, the fused path on traced values).
     """
     if policy == "replace":
         return dn1
@@ -74,6 +93,8 @@ def combine_rounds(dn0, dn1, disagree, policy: str = DEFAULT_POLICY,
         return 0.5 * dn0 + 0.5 * dn1
     if policy == "rescue":
         w = jnp.clip((disagree - tol) / (2.0 * tol), 0.0, 1.0)
+        if dn0_noise_frac is not None:
+            w = w * (dn0_noise_frac > noise_frac_tol)
         return (1.0 - w) * dn0 + w * dn1
     take = jnp.abs(disagree) > tol
     if policy == "guard":
