@@ -100,6 +100,13 @@ def main():
     ap.add_argument("--json", default=None, metavar="PATH",
                     help="with --heldout: also dump the per-scene rows + "
                          "summary as JSON (cross-round tracking artifact)")
+    ap.add_argument("--est", default="robust",
+                    choices=["robust", "simple", "pge"],
+                    help="round-1 estimator column: 'robust' = flat-mask "
+                         "fit + wavelet-MAD cross-check (product), "
+                         "'simple' = plain flat-mask fit (reference "
+                         "SimpleNLF), 'pge' = the shipped est_UNet "
+                         "scalar net (runfiles/Gaussian/EstPGE.yml)")
     ap.add_argument("--refine", default=None, choices=["local", "fixed"],
                     help="method-noise Wiener refinement (pipeline/refine"
                          ".py) with the given noise floor — the product "
@@ -131,8 +138,34 @@ def main():
     den = VSTDenoiser(model, params, guided=True, bias_corr="pre",
                       vst_type="exact", refine=args.refine is not None,
                       refine_floor=args.refine or "local")
-    eng = YONDEngine(den, PipelineConfig(est_type="simple", max_iter=1),
-                     biaslut=BiasLUT())
+    est_models = {}
+    extras = {}
+    est_type = "simple"
+    if args.est == "simple":
+        extras["robust_nle"] = False
+    elif args.est == "pge":
+        est_type = "pge"
+        earch = {"name": "est_UNet", "in_nc": 4, "out_nc": 2,
+                 "nf": 16, "depth": 3}
+        emodel = build_model(earch)
+        eparams = init_params(emodel, jax.random.PRNGKey(1),
+                              (1, 64, 64, 4), guided=False)
+        eck = find_checkpoint(args.ckpt_dir, "EstPGE_d3nf16")
+        assert eck, "--est pge needs the EstPGE_d3nf16 checkpoint"
+        eparams = load_checkpoint(eck, eparams)["params"]
+
+        def _est(raw, _m=emodel, _p=eparams):
+            from yondx.isp import bayer2rggb
+            x = bayer2rggb(jnp.asarray(raw, jnp.float32))
+            if x.ndim == 3:
+                x = x[None]
+            out = np.asarray(_m.apply(_p, jnp.clip(x, 0.0, 1.0)))
+            return out.mean(axis=0) if out.ndim == 2 else out
+
+        est_models["est_net"] = _est
+    eng = YONDEngine(den, PipelineConfig(est_type=est_type, max_iter=1,
+                                         extras=extras),
+                     biaslut=BiasLUT(), est_models=est_models)
 
     if args.heldout:
         from yondx.eval.heldout import run_heldout
@@ -142,7 +175,7 @@ def main():
             with open(args.json, "w") as f:
                 json.dump({"model": args.model, "arch": args.arch,
                            "refine": args.refine, "suite": args.suite,
-                           "rows": rows}, f, indent=1)
+                           "est": args.est, "rows": rows}, f, indent=1)
             log(f"wrote {args.json}")
         return
 

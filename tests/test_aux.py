@@ -96,6 +96,32 @@ def test_pg_est_trainer_smoke(tmp_path):
     assert os.path.exists(tmp_path / "est_tiny_last_model.ckpt")
 
 
+def test_pg_est_trainer_pge_flavor(tmp_path):
+    """est_UNet arch selects the PGE scalar flavor: log-space (beta1,
+    sqrt(beta2)) regression; the trained output shape feeds the engine's
+    'pge' est_type as (pred[0], pred[1]**2)."""
+    import jax
+    import jax.numpy as jnp
+    from yondx.train.pg_trainer import PGEstTrainer
+    args = {
+        "model_name": "est_pge_tiny", "fast_ckpt": str(tmp_path),
+        "arch": {"name": "est_UNet", "in_nc": 4, "out_nc": 2, "nf": 4,
+                 "depth": 2},
+        "hyper": {"lr_scheduler": "WarmupCosine", "learning_rate": 1e-3,
+                  "batch_size": 4, "last_epoch": 0, "step_size": 1,
+                  "stop_epoch": 1, "T": 1, "save_freq": 1},
+        "dst_train": {"patch_size": 64, "synthetic_len": 8},
+    }
+    tr = PGEstTrainer(args)
+    assert tr.flavor == "pge"
+    loss = tr.train(epochs=1, steps_per_epoch=2)
+    assert np.isfinite(loss)
+    out = tr.model.apply(tr.params,
+                         jnp.ones((3, 32, 32, 4), jnp.float32))
+    assert out.shape == (3, 2)
+    assert bool(jnp.all(out >= 0))     # squared head: positive scalars
+
+
 def test_dnd_dataset_layout(tmp_path):
     """DND reader on a synthetic official-layout bundle (HDF5 v7.3-style)."""
     import h5py

@@ -32,7 +32,15 @@ from .schedule import lr_lambda_from_hyper
 
 
 class PGEstTrainer:
-    """Trains an EstUnet on PG-corrupted pseudo-raw."""
+    """Trains a noise-estimation net on PG-corrupted pseudo-raw.
+
+    Flavor follows the arch (SURVEY.md §2.6):
+    - EstUnet (default): std-MAP regression, flat-masked L1 against the
+      analytic sqrt(beta1*blur(hr)+beta2) target;
+    - est_UNet ('pge'): scalar [beta1, sqrt(beta2)] regression in LOG
+      space (the prior spans ~2.5 decades; a linear loss would be
+      dominated by the high-noise draws) — the engine's 'pge' est_type
+      consumes exactly (pred[0], pred[1]**2) (pipeline/engine.py:201)."""
 
     def __init__(self, args: Dict[str, Any]):
         self.args = args
@@ -41,6 +49,8 @@ class PGEstTrainer:
         self.model_name = args.get("model_name", "estnet")
         self.fast_ckpt = args.get("fast_ckpt", "checkpoints")
         self.k = self.arch.get("k", 19)
+        self.flavor = "pge" if self.arch.get("name") == "est_UNet" \
+            else "map"
         self.model = build_model(self.arch)
         ps = args.get("dst_train", {}).get("patch_size", 256)
         in_nc = self.arch.get("in_nc", 12)
@@ -57,18 +67,30 @@ class PGEstTrainer:
     def _make_step(self):
         model, tx, k = self.model, self.tx, self.k
 
-        def loss_fn(params, feats, target, mask):
-            pred = model.apply(params, feats)
-            err = jnp.abs(pred - target) * mask
-            return jnp.sum(err) / jnp.maximum(jnp.sum(mask), 1.0)
+        def loss_map(params, key, batch):
+            lr, hr, meta = pg_training_batch(key, batch)
+            out = pg_est_features(lr, hr, meta["beta1"], meta["beta2"],
+                                  k=k)
+            pred = model.apply(params, out["features"])
+            err = jnp.abs(pred - out["target"]) * out["mask"]
+            return jnp.sum(err) / jnp.maximum(jnp.sum(out["mask"]), 1.0)
+
+        def loss_pge(params, key, batch):
+            lr, hr, meta = pg_training_batch(key, batch)
+            pred = model.apply(params, jnp.clip(lr, 0.0, 1.0))
+            pred = pred.reshape(lr.shape[0], -1)
+            target = jnp.stack([meta["beta1"],
+                                jnp.sqrt(meta["beta2"])], axis=-1)
+            eps = 1e-6
+            return jnp.mean(jnp.abs(jnp.log(pred + eps)
+                                    - jnp.log(target + eps)))
+
+        loss_fn = loss_pge if self.flavor == "pge" else loss_map
 
         def step(params, opt_state, key, batch, lr_value):
             if batch.dtype == jnp.uint8:
                 batch = batch.astype(jnp.float32) / 255.0
-            lr, hr, meta = pg_training_batch(key, batch)
-            out = pg_est_features(lr, hr, meta["beta1"], meta["beta2"], k=k)
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, out["features"], out["target"], out["mask"])
+            loss, grads = jax.value_and_grad(loss_fn)(params, key, batch)
             opt_state.hyperparams["learning_rate"] = lr_value
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
