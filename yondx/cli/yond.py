@@ -132,7 +132,10 @@ class YOND:
                 x = bayer2rggb(jnp.asarray(raw))
                 if x.ndim == 3:
                     x = x[None]
-                return np.asarray(_m.apply(_p, x))
+                out = np.asarray(_m.apply(_p, jnp.clip(x, 0.0, 1.0)))
+                # scalar est nets (est_UNet) return [B, 2]: pool the crop
+                # stack to one scene-level prediction
+                return out.mean(axis=0) if out.ndim == 2 else out
 
             self.est_models[key] = _apply
 
@@ -215,6 +218,18 @@ class YOND:
                            tile=self.parser.tile, out_path=out, mesh=mesh)
 
     def benchmark(self, limit=None):
+        if self.pipe.data_type == "DND":
+            # server-scored benchmark: denoise the 20 boxed crops per
+            # image and write the official submission bundle
+            from ..eval.dnd import denoise_dnd, bundle_submissions_raw
+            out_dir = os.path.join("submits", self.mode, self.method_name)
+            bundled = denoise_dnd(self.engine, self._dataset("test"),
+                                  out_dir, limit=limit or self.parser.limit,
+                                  logfile=self.logfile)
+            n = bundle_submissions_raw(bundled)
+            log(f"DND submission bundle: {n} images under {bundled}",
+                logfile=self.logfile)
+            return bundled
         from ..eval.sidd import SIDDEvalHarness
         dst = self._dataset("test")
         harness = SIDDEvalHarness(
