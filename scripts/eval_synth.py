@@ -107,7 +107,8 @@ def main():
                          "'simple' = plain flat-mask fit (reference "
                          "SimpleNLF), 'pge' = the shipped est_UNet "
                          "scalar net (runfiles/Gaussian/EstPGE.yml)")
-    ap.add_argument("--refine", default=None, choices=["local", "fixed"],
+    ap.add_argument("--refine", default=None,
+                    choices=["local", "fixed", "bucket"],
                     help="method-noise Wiener refinement (pipeline/refine"
                          ".py) with the given noise floor — the product "
                          "config of runfiles/YOND/SIDD_refine_pre_grumix")
@@ -137,7 +138,7 @@ def main():
 
     den = VSTDenoiser(model, params, guided=True, bias_corr="pre",
                       vst_type="exact", refine=args.refine is not None,
-                      refine_floor=args.refine or "local")
+                      refine_floor=args.refine or "bucket")
     est_models = {}
     extras = {}
     est_type = "simple"

@@ -97,6 +97,81 @@ class TestWienerRefine:
         flat = np.s_[32:-32, 16:88]
         assert _mse(out_loc[flat], clean[flat]) < 2.0 * true_sig ** 2
 
+    def test_bucket_floor_texture_immune(self):
+        """The bucket floor's defining property vs 'local': on a scene
+        with NO flat window anywhere (rings at every location), a
+        correct noise model must be kept (floor ~ V -> 'fixed'
+        behavior), so a near-oracle denoiser is NOT degraded. The
+        'local' erosion floor under-reads here (its min of chi2 window
+        means rides the sampling tail) and blends noise back."""
+        rng = np.random.default_rng(7)
+        H = W = 256
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        r = np.sqrt((yy - 120) ** 2 + (xx - 130) ** 2)
+        clean = (0.5 + 0.35 * np.cos(r / 6.0))[..., None].astype(
+            np.float32)
+        nsr = 0.05
+        noisy = clean + rng.normal(0, nsr, clean.shape).astype(np.float32)
+        dn = clean + rng.normal(0, nsr * 0.05, clean.shape).astype(
+            np.float32)                   # near-oracle
+        out_b = np.asarray(wiener_refine(
+            jnp.asarray(dn), jnp.asarray(noisy), noise_var=nsr ** 2,
+            noise_floor="bucket"))
+        out_l = np.asarray(wiener_refine(
+            jnp.asarray(dn), jnp.asarray(noisy), noise_var=nsr ** 2,
+            noise_floor="local"))
+        assert _mse(out_b, clean) < 1.3 * _mse(dn, clean)
+        assert _mse(out_b, clean) < 0.5 * _mse(out_l, clean)
+
+    def test_bucket_floor_rescues_overestimated_noise(self):
+        """And the other half of the contract: under a grossly
+        over-estimated noise model (the net then over-smooths), the
+        bucket floor reads the TRUE per-intensity noise from the input
+        and lets the refinement restore the destroyed structure —
+        matching the 'local' floor's rescue, where 'fixed' under-fires."""
+        rng = np.random.default_rng(8)
+        H = W = 256
+        clean = np.full((H, W, 1), 0.4, np.float32)
+        for gy in range(8, H - 24, 24):            # thin strokes
+            for gx in range(8, W - 24, 24):
+                clean[gy:gy + 12, gx:gx + 2] = 0.85
+                clean[gy:gy + 2, gx:gx + 12] = 0.85
+        true_sig = 0.01
+        noisy = clean + rng.normal(0, true_sig, clean.shape).astype(
+            np.float32)
+        dn = np.asarray(box_mean(jnp.asarray(noisy), 9))  # stroke killer
+        V_over = (6.0 * true_sig) ** 2              # 36x over-estimate
+        out_fix = np.asarray(wiener_refine(
+            jnp.asarray(dn), jnp.asarray(noisy), noise_var=V_over,
+            noise_floor="fixed"))
+        out_b = np.asarray(wiener_refine(
+            jnp.asarray(dn), jnp.asarray(noisy), noise_var=V_over,
+            noise_floor="bucket"))
+        assert _mse(out_b, clean) < 0.5 * _mse(out_fix, clean)
+        assert _mse(out_b, clean) < 0.5 * _mse(dn, clean)
+
+    def test_bucket_floor_clip_aware(self):
+        """Black-clipped range: the dark buckets' true variance is below
+        the (correct mid-tone) model, and the floor picks that up per
+        INTENSITY — dark-region alpha can rise without dragging the
+        mid-tone floor down (the failure of a global q10 scalar)."""
+        rng = np.random.default_rng(9)
+        H = W = 256
+        clean = np.zeros((H, W, 1), np.float32)        # black-clipped ground
+        clean[64:192, 64:192] = 0.5                    # one mid-tone block
+        sig = 0.04
+        noisy = np.clip(clean + rng.normal(0, sig, clean.shape), 0.0, 1.0
+                        ).astype(np.float32)
+        dn = np.asarray(box_mean(jnp.asarray(noisy), 5))
+        from yondx.pipeline.refine import _bucket_noise_floor
+        fl = np.asarray(_bucket_noise_floor(jnp.asarray(noisy),
+                                            jnp.asarray(dn), sig ** 2))
+        dark = fl[clean[..., 0] < 0.1]
+        mid = fl[(clean[..., 0] > 0.4)]
+        # clipped dark floor well below the model; mid-tone keeps it
+        assert np.median(dark) < 0.6 * sig ** 2
+        assert np.median(mid) > 0.8 * sig ** 2
+
     def test_identity_when_input_equals_output(self):
         z = jnp.asarray(np.random.default_rng(3).random((32, 32, 4)),
                         jnp.float32)

@@ -41,7 +41,7 @@ class VSTDenoiser:
                  bias_corr: Optional[str] = "pre", vst_type: str = "exact",
                  pad_base: int = 32, fbi: bool = False,
                  refine: bool = False, refine_k: int = 15,
-                 refine_beta: float = 1.0, refine_floor: str = "local"):
+                 refine_beta: float = 1.0, refine_floor: str = "bucket"):
         """fbi=True selects the blind-spot-network variant (reference
         YOND_SIDD.py:266-279): normalization by the VST output's own
         min/max instead of [VST(0), VST(scale)], and the network consumes

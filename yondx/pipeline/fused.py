@@ -157,7 +157,7 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
                               frames_sequential: bool = True,
                               refine: bool = False, refine_k: int = 15,
                               refine_beta: float = 1.0,
-                              refine_floor: str = "local",
+                              refine_floor: str = "bucket",
                               robust_nle: bool = True,
                               nle_max_px=1 << 22,
                               iter_policy: str = None,
