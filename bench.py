@@ -34,12 +34,18 @@ def make_frame(H=3072, W=4096, seed=7):
 def main():
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument("--arch", default="gru32",
+    ap.add_argument("--arch", default="s2dt16",
                     choices=["gru32", "s2d64", "s2dt16"],
-                    help="gru32 = reference-topology flagship (default); "
-                         "s2d64 = GuidedResUnetS2D packed variant; s2dt16 "
-                         "= packed variant + full-res tail (each ships "
-                         "only if its held-out gate matches — STATUS)")
+                    help="s2dt16 (default) = GuidedResUnetS2D + full-res "
+                         "tail, the shipped epoch-200 joint-distilled "
+                         "artifact (held-out v1: 44.58 dB with the bucket "
+                         "refine floor vs the gru32 flagship's 44.46, "
+                         "do-no-harm PASS — docs/heldout/r4_*.json); "
+                         "gru32 = reference-topology flagship")
+    ap.add_argument("--refine", default="on", choices=["on", "off"],
+                    help="method-noise Wiener refinement (bucket floor) "
+                         "inside the fused graph — 'on' is the product "
+                         "config; 'off' isolates its cost")
     ap.add_argument("--nle-max-px", type=int, default=None,
                     help="override the fused path's banded-NLE sample "
                          "budget (0 = full-frame moments, i.e. banding "
@@ -99,8 +105,11 @@ def main():
     kw = {}
     if cli.nle_max_px is not None:
         kw["nle_max_px"] = cli.nle_max_px or None
+    # full PRODUCT config: robust NLE + method-noise Wiener refinement
+    # (bucket floor) + the directional iteration policy, in ONE dispatch
     fused = make_fused_blind_denoiser(model, params, lut.lut, guided=True,
-                                      bias_corr="pre", max_iter=1, **kw)
+                                      bias_corr="pre", max_iter=1,
+                                      refine=cli.refine == "on", **kw)
 
     noisy, clean = make_frame()
     H, W = noisy.shape

@@ -83,14 +83,21 @@ def _bucket_noise_floor(z_noisy, z_dn, noise_var, nb: int = 64,
     (same gross-over-estimation gating as the q10 mode below).
     """
     from jax.scipy.special import erfinv
-    from ..nle.robust import _haar_hh
-    d, m = _haar_hh(z_noisy)
-    _, mc = _haar_hh(z_dn)                    # clean-proxy cell intensity
+    from ..nle.robust import _haar_hh, _band_subsample_rows
+    # contiguous row-band subsample BEFORE the Haar: a strided gather
+    # over the full multi-MP cell field costs ~50 ms/array on a v5e (the
+    # round-2 measurement that shaped the robust NLE's cost model), while
+    # whole-band slices are a few memcpys; 512k cells pin the per-bucket
+    # q20 far inside the trust band
+    zs = _band_subsample_rows(z_noisy, 4 * (1 << 19))
+    ds = _band_subsample_rows(z_dn, 4 * (1 << 19))
+    d, m = _haar_hh(zs)
+    _, mc = _haar_hh(ds)                      # clean-proxy cell intensity
     d = jnp.abs(d).reshape(-1)
     mc = jnp.clip(mc.reshape(-1), 0.0, 1.0)
-    if d.shape[0] > (1 << 19):                # order statistics: 512k
-        s = d.shape[0] // (1 << 19) + 1       # cells pin q20 far inside
-        d, mc = d[::s], mc[::s]               # the trust band
+    if d.shape[0] > (1 << 19):                # residual cap (wide frames)
+        s = d.shape[0] // (1 << 19) + 1
+        d, mc = d[::s], mc[::s]
     # (bucket x log|d|) histogram -> per-bucket q-quantile, scatter-free
     nd = 128
     dmax = jnp.max(d) + 1e-30
