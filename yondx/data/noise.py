@@ -197,6 +197,27 @@ def awgn_log_uniform(key, clean, sigma_min: float = 5.0,
     return noisy, sigma
 
 
+def awgn_log_uniform_lowmix(key, clean, sigma_min: float = 1.0,
+                            sigma_max: float = 50.0, p_low: float = 0.5,
+                            low_max: float = 8.0):
+    """Log-uniform AWGN with EMPHASIS on the low band: with prob p_low
+    the per-sample sigma is drawn log-uniform in [smin, low_max] instead
+    of [smin, smax]. Plain log-uniform over [1, 50] puts only ~18% of
+    draws under sigma 2 — too thin to teach near-identity behavior on
+    fine structure (the glyph do-no-harm knife edge; 'low_sigma' command).
+    Returns (noisy, sigma[B])."""
+    B = clean.shape[0]
+    k1, k2, k3 = jax.random.split(key, 3)
+    lo = np.log(sigma_min)
+    u = jax.random.uniform(k1, (B,))
+    hi = jnp.where(jax.random.uniform(k3, (B,)) < p_low,
+                   np.log(low_max), np.log(sigma_max))
+    sigma = jnp.exp(lo + u * (hi - lo)) / 255.0
+    bshape = (B,) + (1,) * (clean.ndim - 1)
+    noisy = clean + jax.random.normal(k2, clean.shape) * sigma.reshape(bshape)
+    return noisy, sigma
+
+
 def awgn_uniform(key, clean, sigma_min: float = 5.0,
                  sigma_max: float = 50.0):
     """Per-sample AWGN with UNIFORM sigma in [smin, smax]/255 — the plain

@@ -28,7 +28,8 @@ import optax
 from ..core.logging import log, timestamp
 from ..core.meters import AverageMeter
 from ..data.unprocess import srgb_to_pseudo_raw
-from ..data.noise import awgn_log_uniform, awgn_uniform
+from ..data.noise import (awgn_log_uniform,
+                          awgn_log_uniform_lowmix, awgn_uniform)
 from ..data.augment import data_aug8
 from ..data.datasets import (SyntheticSRGBDataset, NpyFolderDataset,
                              BatchLoader)
@@ -138,6 +139,10 @@ class AWGNTrainer:
         # (saturated interiors actually score 49 dB). This flag covers
         # the chroma tail directly in raw space.
         self.chroma_aug = "chroma_aug" in self.command
+        # 'low_sigma': draw half the per-sample sigmas log-uniform in
+        # [smin, 8] instead of [smin, smax] (data/noise.py lowmix) — the
+        # glyph-margin fine-tune's noise emphasis
+        self.low_sigma = "low_sigma" in self.command
 
         # optional distillation (args 'distill' block): a frozen TEACHER
         # net's output replaces/augments the GT target. Used to transfer
@@ -187,6 +192,7 @@ class AWGNTrainer:
             model = type("RematModel", (), {"apply": staticmethod(apply_fn)})
         clip, bayeraug = self.clip, self.bayeraug
         chroma_aug = self.chroma_aug
+        low_sigma = self.low_sigma
         smin, smax = self.sigma_min, self.sigma_max
         consistency = self.consistency
         tx = self.tx
@@ -260,7 +266,12 @@ class AWGNTrainer:
                     g4 = jnp.concatenate([gr, ones, ones, gb],
                                          axis=1)[:, None, None, :]
                     hr = jnp.clip(hr * g4, 0.0, 1.0)
-                noisy, sigma = awgn_log_uniform(k_noise, hr, smin, smax)
+                if low_sigma:
+                    noisy, sigma = awgn_log_uniform_lowmix(
+                        k_noise, hr, smin, smax)
+                else:
+                    noisy, sigma = awgn_log_uniform(k_noise, hr, smin,
+                                                    smax)
             if clip:
                 noisy = jnp.clip(noisy, 0.0, 1.0)
                 hr = jnp.clip(hr, 0.0, 1.0)
@@ -318,9 +329,10 @@ class AWGNTrainer:
                 raise FileNotFoundError
         except (FileNotFoundError, OSError):
             n = dst.get("synthetic_len", 512 if mode == "train" else 32)
-            ds = SyntheticSRGBDataset(length=n,
-                                      size=dst.get("patch_size", 256),
-                                      seed=1997 if mode == "train" else 2024)
+            ds = SyntheticSRGBDataset(
+                length=n, size=dst.get("patch_size", 256),
+                seed=1997 if mode == "train" else 2024,
+                version=dst.get("content_version", 6))
         # debug/tiny datasets: never let the batch exceed the dataset (a
         # too-large batch would yield ZERO steps per epoch); keep it a
         # multiple of the mesh size for shard_batch
