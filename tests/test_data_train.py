@@ -196,6 +196,48 @@ def test_checkpoint_roundtrip(tmp_path):
     assert out["epoch"] == 7 and abs(out["best_psnr"] - 33.3) < 1e-6
 
 
+def test_awgn_lowmix_distribution():
+    """'low_sigma' sampler: half the draws land in [smin, 8], the rest
+    keep the full [smin, smax] log-uniform range."""
+    from yondx.data.noise import awgn_log_uniform_lowmix
+    key = jax.random.PRNGKey(5)
+    clean = jnp.zeros((2048, 4, 4, 4))
+    noisy, sigma = awgn_log_uniform_lowmix(key, clean, 1, 50)
+    s = np.asarray(sigma) * 255
+    assert s.min() >= 1 and s.max() <= 50
+    # P(s < 8) = 0.5 + 0.5*ln(8)/ln(50) ~ 0.766 (vs 0.53 without the mix)
+    frac_low = (s < 8).mean()
+    assert 0.70 < frac_low < 0.83, frac_low
+    assert (s > 8).any()                   # full range still covered
+    realized = np.asarray(noisy).std(axis=(1, 2, 3))
+    np.testing.assert_allclose(realized.mean(), np.asarray(sigma).mean(),
+                               rtol=0.1)
+
+
+def test_synthetic_generator_v7_strokes():
+    """content_version 7: stroke-heavier mix with an axis-aligned mode;
+    versions are cache-key disjoint and v6 output is unchanged."""
+    ds6 = SyntheticSRGBDataset(length=40, size=64, seed=11, cache=False,
+                               disk_cache=None)
+    ds7 = SyntheticSRGBDataset(length=40, size=64, seed=11, cache=False,
+                               disk_cache=None, version=7)
+
+    def stroke_frac(ds):
+        n = 0
+        for i in range(len(ds)):
+            rng = np.random.default_rng(ds.seed * 100003 + i)
+            if rng.random() < (0.30 if ds.version >= 7 else 0.12):
+                n += 1
+        return n / len(ds)
+    assert stroke_frac(ds7) > stroke_frac(ds6)
+    # same-seed non-stroke indices are IDENTICAL across versions (the
+    # extra classes only change the stroke branch)
+    for i in range(len(ds6)):
+        rng = np.random.default_rng(11 * 100003 + i)
+        if rng.random() >= 0.30:           # non-stroke under BOTH versions
+            np.testing.assert_array_equal(ds6[i], ds7[i])
+
+
 def test_batchloader():
     ds = SyntheticSRGBDataset(length=10, size=32)
     bl = BatchLoader(ds, 4, shuffle=True, seed=1)
