@@ -127,11 +127,14 @@ def bm3d(img: np.ndarray, sigma: float, lambda3d: float = 2.7,
     stage='full' (default): hard-threshold pilot + empirical-Wiener
     refinement (the standard BM3D pipeline); stage='ht': pilot only.
 
-    EXPERIMENTAL vs the pip `bm3d` wheel the reference uses: that wheel
-    is absent from this environment, so there is no oracle comparison —
-    quality is validated on synthetic content only (tests/test_native.py:
-    Wiener stage must improve on HT, and full BM3D must recover >=7 dB at
-    sigma 25/255 on structured scenes).
+    Validated against an independent pure-numpy reimplementation of the
+    published algorithm at the same parameterization — HT stage, Wiener
+    stage and the composed pipeline agree to float32 noise
+    (tests/test_bm3d_oracle.py) — plus synthetic quality gates
+    (tests/test_native.py: Wiener must improve on HT, full BM3D must
+    recover >=7 dB at sigma 25/255 on structured scenes). The pip `bm3d`
+    wheel the reference uses is absent from this environment, so parity
+    with its exact output remains uncertified.
     """
     lib = _load()
     assert lib is not None, "native kernels unavailable"

@@ -133,11 +133,13 @@ def iter_denoise_frame_sharded(mesh: Mesh, engine, bayer: np.ndarray,
                 from ..nle.robust import mad_noise_floor
                 floor = float(mad_noise_floor(prev_raw))
                 frac = floor ** 2 / max(c1 * mu + c2, 1e-30)
-            dn, dn_raw = one_pass(c1 * dn_units,
-                                  float(np.sqrt(c2)) * dn_units)
-            dn = combine_rounds(prev, dn, agree, policy=policy, tol=tol,
-                                dn0_noise_frac=frac,
-                                noise_frac_tol=nf_tol)
+            # same dead-pass skip as pipeline/engine.py + fused.py
+            if policy != "rescue" or (agree > tol and frac > nf_tol):
+                dn, dn_raw = one_pass(c1 * dn_units,
+                                      float(np.sqrt(c2)) * dn_units)
+                dn = combine_rounds(prev, dn, agree, policy=policy,
+                                    tol=tol, dn0_noise_frac=frac,
+                                    noise_frac_tol=nf_tol)
             outs.append(dn)
             regs.append((c1, c2))
 
