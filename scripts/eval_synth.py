@@ -112,6 +112,14 @@ def main():
                     help="method-noise Wiener refinement (pipeline/refine"
                          ".py) with the given noise floor — the product "
                          "config of runfiles/YOND/SIDD_refine_pre_grumix")
+    ap.add_argument("--shrink", action="store_true",
+                    help="with --refine: noise-suppress the restored "
+                         "residual in the à-trous domain before the "
+                         "Wiener blend (pipeline/refine.py "
+                         "shrink_residual_atrous)")
+    ap.add_argument("--shrink-lam", type=float, default=1.0,
+                    help="à-trous shrink threshold scale (lower = "
+                         "gentler, keeps more structure)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -138,7 +146,9 @@ def main():
 
     den = VSTDenoiser(model, params, guided=True, bias_corr="pre",
                       vst_type="exact", refine=args.refine is not None,
-                      refine_floor=args.refine or "bucket")
+                      refine_floor=args.refine or "bucket",
+                      refine_shrink=args.shrink,
+                      refine_shrink_lam=args.shrink_lam)
     est_models = {}
     extras = {}
     est_type = "simple"
@@ -175,7 +185,8 @@ def main():
             import json
             with open(args.json, "w") as f:
                 json.dump({"model": args.model, "arch": args.arch,
-                           "refine": args.refine, "suite": args.suite,
+                           "refine": args.refine, "shrink": args.shrink,
+                           "suite": args.suite,
                            "est": args.est, "rows": rows}, f, indent=1)
             log(f"wrote {args.json}")
         return

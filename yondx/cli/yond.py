@@ -167,7 +167,9 @@ class YOND:
                 self.model, self.params, guided=is_guided(self.arch),
                 bias_corr=self.pipe.bias_corr, vst_type=self.pipe.vst_type,
                 refine=bool(self.pipe.extras.get("refine", False)),
-                refine_floor=self.pipe.extras.get("refine_floor", "bucket"))
+                refine_floor=self.pipe.extras.get("refine_floor", "bucket"),
+                refine_shrink=bool(
+                    self.pipe.extras.get("refine_shrink", False)))
         self.engine = YONDEngine(self.denoiser, self.pipe,
                                  biaslut=BiasLUT(),
                                  est_models=self.est_models,

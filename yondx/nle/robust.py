@@ -47,7 +47,14 @@ _MAD_C = 0.6745
 
 
 def _haar_hh(x):
-    """[..., h, w, C] -> (detail, cell mean) at half resolution."""
+    """[..., h, w, C] -> (detail, cell mean) at half resolution.
+
+    Odd h/w are cropped to even first (statistics only — one dropped
+    row/col is immaterial, and without the crop the 0::2 / 1::2 halves
+    disagree by one and the arithmetic fails on e.g. ANY-camera frames
+    whose packed planes are odd-sized)."""
+    h, w = x.shape[-3], x.shape[-2]
+    x = x[..., : h // 2 * 2, : w // 2 * 2, :]
     a = x[..., 0::2, 0::2, :]
     b = x[..., 1::2, 1::2, :]
     c = x[..., 0::2, 1::2, :]

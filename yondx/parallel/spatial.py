@@ -196,7 +196,8 @@ def spatial_denoise_sharded_pair(mesh: Mesh, apply_fn: Callable, params,
                                  refine: bool = False,
                                  refine_k: int = 15,
                                  refine_beta: float = 1.0,
-                                 refine_floor: str = "local"):
+                                 refine_floor: str = "local",
+                                 refine_shrink: bool = False):
     """Row-sharded fused VST denoise of one huge RGGB frame ->
     (output, raw_net_output), the VSTDenoiser.denoise_pair analog.
 
@@ -235,10 +236,14 @@ def spatial_denoise_sharded_pair(mesh: Mesh, apply_fn: Callable, params,
             from ..pipeline.refine import wiener_refine
             # z_noisy is the UNCLIPPED normalized input, matching
             # VSTDenoiser._denoise's residual definition
+            # the à-trous shrink's support (level-3 radius 14 px + the
+            # k=3 stabilizer) sits well inside the default halo=64, so
+            # the shrunk interior matches the single-device result
             zr = wiener_refine(out, ze,
                                noise_var=nsr ** 2, k=refine_k,
                                beta=refine_beta, x01=out,
-                               noise_floor=refine_floor)
+                               noise_floor=refine_floor,
+                               residual_shrink=refine_shrink)
             z_fin = zr[halo:-halo]
         else:
             z_fin = z_raw

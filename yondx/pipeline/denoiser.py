@@ -41,7 +41,8 @@ class VSTDenoiser:
                  bias_corr: Optional[str] = "pre", vst_type: str = "exact",
                  pad_base: int = 32, fbi: bool = False,
                  refine: bool = False, refine_k: int = 15,
-                 refine_beta: float = 1.0, refine_floor: str = "bucket"):
+                 refine_beta: float = 1.0, refine_floor: str = "bucket",
+                 refine_shrink: bool = False, refine_shrink_lam: float = 1.0):
         """fbi=True selects the blind-spot-network variant (reference
         YOND_SIDD.py:266-279): normalization by the VST output's own
         min/max instead of [VST(0), VST(scale)], and the network consumes
@@ -57,6 +58,8 @@ class VSTDenoiser:
         self.refine_k = refine_k
         self.refine_beta = refine_beta
         self.refine_floor = refine_floor
+        self.refine_shrink = refine_shrink
+        self.refine_shrink_lam = refine_shrink_lam
         self.sigma_corr = 1.03 if bias_corr == "pre" else 1.00
         self.exact_inverse = bias_corr is None and vst_type == "exact"
         self._jit = jax.jit(self._denoise)
@@ -103,7 +106,9 @@ class VSTDenoiser:
                 from .refine import wiener_refine
                 z = wiener_refine(z, z_noisy, noise_var=nsr ** 2,
                                   k=self.refine_k, beta=self.refine_beta,
-                                  x01=z, noise_floor=self.refine_floor)
+                                  x01=z, noise_floor=self.refine_floor,
+                                  residual_shrink=self.refine_shrink,
+                                  shrink_lam=self.refine_shrink_lam)
 
         def finish(zz):
             zz = zz * (upper - lower) + lower

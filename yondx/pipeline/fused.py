@@ -158,6 +158,7 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
                               refine: bool = False, refine_k: int = 15,
                               refine_beta: float = 1.0,
                               refine_floor: str = "bucket",
+                              refine_shrink: bool = False,
                               robust_nle: bool = True,
                               nle_max_px=1 << 22,
                               iter_policy: str = None,
@@ -223,7 +224,8 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             from .refine import wiener_refine
             z = wiener_refine(z, z_noisy, noise_var=nsr ** 2,
                               k=refine_k, beta=refine_beta, x01=z,
-                              noise_floor=refine_floor)
+                              noise_floor=refine_floor,
+                              residual_shrink=refine_shrink)
 
         def finish(zz):
             zz = zz * (upper - lower) + lower
