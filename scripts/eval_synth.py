@@ -117,6 +117,9 @@ def main():
                          "residual in the à-trous domain before the "
                          "Wiener blend (pipeline/refine.py "
                          "shrink_residual_atrous)")
+    ap.add_argument("--shrink-full-alpha", type=float, default=0.6,
+                    help="alpha above which the ramp hands back the raw "
+                         "residual (lower = protect more structure)")
     ap.add_argument("--shrink-lam", type=float, default=1.0,
                     help="à-trous shrink threshold scale (lower = "
                          "gentler, keeps more structure)")
@@ -148,7 +151,8 @@ def main():
                       vst_type="exact", refine=args.refine is not None,
                       refine_floor=args.refine or "bucket",
                       refine_shrink=args.shrink,
-                      refine_shrink_lam=args.shrink_lam)
+                      refine_shrink_lam=args.shrink_lam,
+                      refine_shrink_full_alpha=args.shrink_full_alpha)
     est_models = {}
     extras = {}
     est_type = "simple"

@@ -169,7 +169,11 @@ class YOND:
                 refine=bool(self.pipe.extras.get("refine", False)),
                 refine_floor=self.pipe.extras.get("refine_floor", "bucket"),
                 refine_shrink=bool(
-                    self.pipe.extras.get("refine_shrink", False)))
+                    self.pipe.extras.get("refine_shrink", False)),
+                refine_shrink_lam=float(
+                    self.pipe.extras.get("refine_shrink_lam", 1.0)),
+                refine_shrink_full_alpha=float(
+                    self.pipe.extras.get("refine_shrink_full_alpha", 0.6)))
         self.engine = YONDEngine(self.denoiser, self.pipe,
                                  biaslut=BiasLUT(),
                                  est_models=self.est_models,

@@ -42,7 +42,8 @@ class VSTDenoiser:
                  pad_base: int = 32, fbi: bool = False,
                  refine: bool = False, refine_k: int = 15,
                  refine_beta: float = 1.0, refine_floor: str = "bucket",
-                 refine_shrink: bool = False, refine_shrink_lam: float = 1.0):
+                 refine_shrink: bool = False, refine_shrink_lam: float = 1.0,
+                 refine_shrink_full_alpha: float = 0.6):
         """fbi=True selects the blind-spot-network variant (reference
         YOND_SIDD.py:266-279): normalization by the VST output's own
         min/max instead of [VST(0), VST(scale)], and the network consumes
@@ -60,6 +61,7 @@ class VSTDenoiser:
         self.refine_floor = refine_floor
         self.refine_shrink = refine_shrink
         self.refine_shrink_lam = refine_shrink_lam
+        self.refine_shrink_full_alpha = refine_shrink_full_alpha
         self.sigma_corr = 1.03 if bias_corr == "pre" else 1.00
         self.exact_inverse = bias_corr is None and vst_type == "exact"
         self._jit = jax.jit(self._denoise)
@@ -108,7 +110,9 @@ class VSTDenoiser:
                                   k=self.refine_k, beta=self.refine_beta,
                                   x01=z, noise_floor=self.refine_floor,
                                   residual_shrink=self.refine_shrink,
-                                  shrink_lam=self.refine_shrink_lam)
+                                  shrink_lam=self.refine_shrink_lam,
+                                  shrink_full_alpha=(
+                                      self.refine_shrink_full_alpha))
 
         def finish(zz):
             zz = zz * (upper - lower) + lower

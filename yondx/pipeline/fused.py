@@ -159,6 +159,8 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
                               refine_beta: float = 1.0,
                               refine_floor: str = "bucket",
                               refine_shrink: bool = False,
+                              refine_shrink_lam: float = 1.0,
+                              refine_shrink_full_alpha: float = 0.6,
                               robust_nle: bool = True,
                               nle_max_px=1 << 22,
                               iter_policy: str = None,
@@ -225,7 +227,9 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             z = wiener_refine(z, z_noisy, noise_var=nsr ** 2,
                               k=refine_k, beta=refine_beta, x01=z,
                               noise_floor=refine_floor,
-                              residual_shrink=refine_shrink)
+                              residual_shrink=refine_shrink,
+                              shrink_lam=refine_shrink_lam,
+                              shrink_full_alpha=refine_shrink_full_alpha)
 
         def finish(zz):
             zz = zz * (upper - lower) + lower
