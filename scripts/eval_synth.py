@@ -92,11 +92,12 @@ def main():
     ap.add_argument("--heldout", action="store_true",
                     help="run the frozen generator-disjoint suite "
                          "(yondx.eval.heldout) instead of ad-hoc scenes")
-    ap.add_argument("--suite", default="v1", choices=["v1", "v2"],
+    ap.add_argument("--suite", default="v1", choices=["v1", "v2", "v3"],
                     help="held-out suite version: v1 = the 15 round-3 "
                          "scenes (cross-round comparable), v2 = 36 "
                          "scenes incl. second seeds, high-noise band "
-                         "and a 1024-px tier")
+                         "and a 1024-px tier, v3 = v2 + the frozen "
+                         "photographic class (docs/heldout_photo)")
     ap.add_argument("--json", default=None, metavar="PATH",
                     help="with --heldout: also dump the per-scene rows + "
                          "summary as JSON (cross-round tracking artifact)")
@@ -112,18 +113,43 @@ def main():
                     help="method-noise Wiener refinement (pipeline/refine"
                          ".py) with the given noise floor — the product "
                          "config of runfiles/YOND/SIDD_refine_pre_grumix")
-    ap.add_argument("--shrink", action="store_true",
+    ap.add_argument("--shrink", default=None, choices=["on", "off"],
                     help="with --refine: noise-suppress the restored "
                          "residual in the à-trous domain before the "
                          "Wiener blend (pipeline/refine.py "
-                         "shrink_residual_atrous)")
-    ap.add_argument("--shrink-full-alpha", type=float, default=0.6,
+                         "shrink_residual_atrous). Default: on whenever "
+                         "--refine is given (the round-5 product "
+                         "config)")
+    ap.add_argument("--shrink-full-alpha", type=float, default=1.0,
                     help="alpha above which the ramp hands back the raw "
-                         "residual (lower = protect more structure)")
+                         "residual; >= 1.0 (default) = shrink "
+                         "everywhere + full-weight coherent-structure "
+                         "restore (the round-5 product scheme)")
     ap.add_argument("--shrink-lam", type=float, default=1.0,
                     help="à-trous shrink threshold scale (lower = "
                          "gentler, keeps more structure)")
+    ap.add_argument("--shrink-mode", default="oriented",
+                    choices=["iso", "oriented"],
+                    help="shrink gain: 'iso' = isotropic empirical "
+                         "Wiener, 'oriented' (default) = + orientation-"
+                         "coherence structure gate (keeps strokes/edges "
+                         "at the band noise floor)")
+    ap.add_argument("--scene-filter", default=None,
+                    help="with --heldout: comma-separated substring "
+                         "filter on scene names (fast probe loops)")
+    ap.add_argument("--denoiser", default="net", choices=["net", "bm3d"],
+                    help="'bm3d' = the native two-stage BM3D in VST "
+                         "space (host C++, yondx.native; reference "
+                         "capability YOND_SIDD.py:272) instead of the "
+                         "network — gives the oracle-validated kernels "
+                         "a measured quality column")
     args = ap.parse_args()
+    if (args.shrink == "on" or args.shrink_lam != 1.0
+            or args.shrink_full_alpha != 1.0) and args.refine is None:
+        ap.error("--shrink/--shrink-lam/--shrink-full-alpha require "
+                 "--refine (they would be silently ignored)")
+    args.shrink = (args.shrink == "on") if args.shrink is not None \
+        else (args.refine is not None)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     # persistent XLA cache: the engine's graphs cost ~10 min of compiles
@@ -131,28 +157,34 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/yondx_xla_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    arch = {"name": args.arch, "guided": True, "in_nc": 4,
-            "out_nc": 4, "nf": args.nf, "nframes": 1, "res": True,
-            "norm": True}
-    if args.out_k is not None:
-        arch["out_k"] = args.out_k
-    if args.tail_nf is not None:
-        arch["tail_nf"] = args.tail_nf
-    model = build_model(arch, dtype=jnp.bfloat16 if args.bf16 else None)
-    params = init_params(model, jax.random.PRNGKey(0), (1, 128, 128, 4))
-    ck = find_checkpoint(args.ckpt_dir, args.model)
-    if ck:
-        params = load_checkpoint(ck, params)["params"]
-        log(f"loaded {ck}")
+    if args.denoiser == "bm3d":
+        from yondx.pipeline import BM3DVSTDenoiser
+        den = BM3DVSTDenoiser(bias_corr="pre", vst_type="exact")
+        log("denoiser: native BM3D (VST space)")
     else:
-        log("WARNING: random weights")
+        arch = {"name": args.arch, "guided": True, "in_nc": 4,
+                "out_nc": 4, "nf": args.nf, "nframes": 1, "res": True,
+                "norm": True}
+        if args.out_k is not None:
+            arch["out_k"] = args.out_k
+        if args.tail_nf is not None:
+            arch["tail_nf"] = args.tail_nf
+        model = build_model(arch, dtype=jnp.bfloat16 if args.bf16 else None)
+        params = init_params(model, jax.random.PRNGKey(0), (1, 128, 128, 4))
+        ck = find_checkpoint(args.ckpt_dir, args.model)
+        if ck:
+            params = load_checkpoint(ck, params)["params"]
+            log(f"loaded {ck}")
+        else:
+            log("WARNING: random weights")
 
-    den = VSTDenoiser(model, params, guided=True, bias_corr="pre",
-                      vst_type="exact", refine=args.refine is not None,
-                      refine_floor=args.refine or "bucket",
-                      refine_shrink=args.shrink,
-                      refine_shrink_lam=args.shrink_lam,
-                      refine_shrink_full_alpha=args.shrink_full_alpha)
+        den = VSTDenoiser(model, params, guided=True, bias_corr="pre",
+                          vst_type="exact", refine=args.refine is not None,
+                          refine_floor=args.refine or "bucket",
+                          refine_shrink=args.shrink,
+                          refine_shrink_lam=args.shrink_lam,
+                          refine_shrink_full_alpha=args.shrink_full_alpha,
+                          refine_shrink_mode=args.shrink_mode)
     est_models = {}
     extras = {}
     est_type = "simple"
@@ -184,12 +216,17 @@ def main():
 
     if args.heldout:
         from yondx.eval.heldout import run_heldout
-        rows = run_heldout(eng, suite=args.suite)
+        flt = (args.scene_filter.split(",")
+               if args.scene_filter else None)
+        rows = run_heldout(eng, suite=args.suite, scene_filter=flt)
         if args.json:
             import json
             with open(args.json, "w") as f:
                 json.dump({"model": args.model, "arch": args.arch,
                            "refine": args.refine, "shrink": args.shrink,
+                           "shrink_lam": args.shrink_lam,
+                           "shrink_full_alpha": args.shrink_full_alpha,
+                           "shrink_mode": args.shrink_mode,
                            "suite": args.suite,
                            "est": args.est, "rows": rows}, f, indent=1)
             log(f"wrote {args.json}")

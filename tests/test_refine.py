@@ -276,6 +276,81 @@ class TestWienerRefine:
                                        residual_shrink=True))
         assert out.shape == (75, 99, 4) and np.isfinite(out).all()
 
+    def test_dir_mean_noise_vars_match_monte_carlo(self):
+        """The analytic directional-mean noise variances (explicit 2-D
+        composed kernels) must match measurement on white noise. The
+        coherence map is a max of 2 squared means per direction class,
+        so its mean sits at E[max of 2 chi^2_1] ~ 1.64 x nu."""
+        from yondx.pipeline.refine import (_dir_mean_noise_vars,
+                                           _dir_coherence, _sep_b3_blur)
+        dv = _dir_mean_noise_vars(2, 9)
+        rng = np.random.default_rng(31)
+        c = jnp.asarray(rng.normal(0, 1, (512, 512, 1)).astype(np.float32))
+        for j in range(2):
+            cj = _sep_b3_blur(c, 2 ** j)
+            ca, cd = _dir_coherence(c - cj, min(2 ** j, 4), 9)
+            for coh, nu in ((ca, dv[j][0]), (cd, dv[j][1])):
+                ratio = float(jnp.mean(coh)) / nu
+                assert 1.3 < ratio < 2.1, (j, ratio)
+            c = cj
+
+    def test_oriented_shrink_keeps_floor_stroke(self):
+        """A straight stroke whose band amplitude sits AT the band noise
+        floor is invisible to the isotropic empirical-Wiener gain but
+        passes the orientation-coherence gate — the round-4 glyph
+        ceiling's mechanism."""
+        from yondx.pipeline.refine import (shrink_residual_atrous,
+                                           _starlet_noise_vars)
+        det_vars, _ = _starlet_noise_vars(3)
+        rng = np.random.default_rng(32)
+        sig = 0.05
+        H = W = 256
+        stroke = np.zeros((H, W, 4), np.float32)
+        amp = float(np.sqrt(det_vars[0])) * sig * 1.5  # near-floor stroke
+        for x0 in range(24, W - 8, 24):
+            stroke[40:216, x0] = amp / 0.6   # ~60% lands in band 0
+        r = jnp.asarray(stroke
+                        + rng.normal(0, sig, stroke.shape).astype(
+                            np.float32))
+        out_i = np.asarray(shrink_residual_atrous(r, sig ** 2))
+        out_o = np.asarray(shrink_residual_atrous(r, sig ** 2,
+                                                  mode="oriented"))
+        cols = stroke[..., 0].max(axis=0) > 0
+        kept_i = float(np.mean(out_i[40:216, cols] * stroke[40:216, cols])
+                       ) / float(np.mean(stroke[40:216, cols] ** 2))
+        kept_o = float(np.mean(out_o[40:216, cols] * stroke[40:216, cols])
+                       ) / float(np.mean(stroke[40:216, cols] ** 2))
+        assert kept_o > kept_i + 0.15, (kept_i, kept_o)
+        assert kept_o > 0.5, kept_o
+        # and pure-noise suppression must stay near the iso shrink's
+        bg = ~cols
+        p_i = float(np.mean(out_i[:, bg] ** 2))
+        p_o = float(np.mean(out_o[:, bg] ** 2))
+        assert p_o < 1.5 * p_i, (p_i, p_o)
+
+    def test_oriented_shrink_full_alpha_one(self):
+        """shrink_full_alpha >= 1.0 = shrink everywhere (no raw-residual
+        handback). On a stroke scene with a stroke-destroying denoiser
+        the oriented full shrink must beat the raw blend (which re-adds
+        noise frame-wide) AND the ramped iso shrink."""
+        rng = np.random.default_rng(33)
+        H = W = 256
+        clean = np.full((H, W, 4), 0.4, np.float32)
+        for gy in range(8, H - 24, 24):
+            for gx in range(8, W - 24, 24):
+                clean[gy:gy + 12, gx:gx + 2] = 0.85
+                clean[gy:gy + 2, gx:gx + 12] = 0.85
+        sig = 0.03
+        noisy = clean + rng.normal(0, sig, clean.shape).astype(np.float32)
+        dn = np.asarray(box_mean(jnp.asarray(noisy), 9))  # stroke killer
+        out_raw = np.asarray(wiener_refine(
+            jnp.asarray(dn), jnp.asarray(noisy), noise_var=sig ** 2))
+        out_or = np.asarray(wiener_refine(
+            jnp.asarray(dn), jnp.asarray(noisy), noise_var=sig ** 2,
+            residual_shrink=True, shrink_mode="oriented",
+            shrink_full_alpha=1.0))
+        assert _mse(out_or, clean) < 0.95 * _mse(out_raw, clean)
+
     def test_identity_when_input_equals_output(self):
         z = jnp.asarray(np.random.default_rng(3).random((32, 32, 4)),
                         jnp.float32)

@@ -172,10 +172,38 @@ def _chart(rng: np.random.Generator, S: int = S) -> np.ndarray:
     return img
 
 
+_PHOTO_CACHE = None
+
+
+def _photo(rng: np.random.Generator, S: int = S) -> np.ndarray:
+    """Frozen PHOTOGRAPHIC crops (round-4 verdict Next #8): every other
+    suite class — and the training generator itself — is procedural, so
+    this is the one natural-image distribution probe available without
+    benchmark archives. Source: the public-domain Grace Hopper portrait
+    shipped with matplotlib (4 committed 512-px sRGB crops incl. a
+    rotation/flip, docs/heldout_photo/photo_crops.npy — frozen bytes,
+    NOT regenerated, so cross-round comparability holds even if the
+    matplotlib sample ever changes). rng picks the crop; the unprocess
+    chain + frozen (K, sigma) are applied by build_scene like any other
+    class."""
+    global _PHOTO_CACHE
+    if _PHOTO_CACHE is None:
+        import os
+        path = os.path.join(os.path.dirname(__file__), "..", "..",
+                            "docs", "heldout_photo", "photo_crops.npy")
+        _PHOTO_CACHE = np.load(os.path.abspath(path))
+    c = _PHOTO_CACHE[int(rng.integers(len(_PHOTO_CACHE)))]
+    img = c.astype(np.float32) / 255.0
+    if S != c.shape[0]:
+        sy = c.shape[0] // S
+        img = img[: S * sy: sy, : S * sy: sy]
+    return img
+
+
 _GENERATORS = {
     "voronoi": _voronoi, "radial": _radial, "ramp": _ramp,
     "zoneplate": _zoneplate, "glyphs": _glyphs, "bubbles": _bubbles,
-    "satdisk": _satdisk, "chart": _chart,
+    "satdisk": _satdisk, "chart": _chart, "photo": _photo,
 }
 
 
@@ -260,9 +288,23 @@ HELDOUT_SCENES_V2_EXTRA: List[SceneSpec] = [
               size=1024, n_crops=1),
 ]
 
+# --------------------------------------------------------------------------
+# v3 extension (round 5): v1/v2 stay FROZEN; v3 adds the photographic
+# class (the only natural-image distribution probe available in-image —
+# round-4 verdict Next #8). Seeds 3xx.
+# --------------------------------------------------------------------------
+
+HELDOUT_SCENES_V3_EXTRA: List[SceneSpec] = [
+    SceneSpec("photo_lo",  "photo", 301, 1.2, 0.8),
+    SceneSpec("photo_mid", "photo", 302, 9.0, 9.0),
+    SceneSpec("photo_hi",  "photo", 303, 24.0, 20.0),
+]
+
 SUITES = {
     "v1": HELDOUT_SCENES,
     "v2": HELDOUT_SCENES + HELDOUT_SCENES_V2_EXTRA,   # 36 scenes
+    "v3": (HELDOUT_SCENES + HELDOUT_SCENES_V2_EXTRA
+           + HELDOUT_SCENES_V3_EXTRA),                # 39 scenes
 }
 
 
@@ -292,7 +334,9 @@ def build_scene(spec: SceneSpec, n_crops: Optional[int] = None):
 
 def run_heldout(engine, n_crops: Optional[int] = None,
                 logfile: Optional[str] = None,
-                suite: str = "v1") -> Dict[str, dict]:
+                suite: str = "v1",
+                scene_filter: Optional[List[str]] = None
+                ) -> Dict[str, dict]:
     """Run the engine over a frozen suite ('v1' = the 15 round-3 scenes,
     kept for cross-round comparability; 'v2' = 36 scenes with a second
     seed per class, a high-noise band and a large-crop tier). Returns
@@ -303,6 +347,11 @@ def run_heldout(engine, n_crops: Optional[int] = None,
     p_proto = {"wp": WP, "bl": BL, "ratio": 1, "scale": float(WP - BL),
                "gain": 1.0, "sigma": 0.0}
     scenes = SUITES[suite]
+    if scene_filter:
+        # probe mode only: a filtered run is NOT a gate (the summary
+        # means lose comparability); full-suite artifacts must not use it
+        scenes = [s for s in scenes
+                  if any(f in s.name for f in scene_filter)]
     v1_names = {s.name for s in HELDOUT_SCENES}
     for spec in scenes:
         clean, noisy = build_scene(spec, n_crops)

@@ -197,9 +197,10 @@ def spatial_denoise_sharded_pair(mesh: Mesh, apply_fn: Callable, params,
                                  refine_k: int = 15,
                                  refine_beta: float = 1.0,
                                  refine_floor: str = "local",
-                                 refine_shrink: bool = False,
+                                 refine_shrink: bool = True,
                                  refine_shrink_lam: float = 1.0,
-                                 refine_shrink_full_alpha: float = 0.6):
+                                 refine_shrink_full_alpha: float = 1.0,
+                                 refine_shrink_mode: str = "oriented"):
     """Row-sharded fused VST denoise of one huge RGGB frame ->
     (output, raw_net_output), the VSTDenoiser.denoise_pair analog.
 
@@ -247,7 +248,8 @@ def spatial_denoise_sharded_pair(mesh: Mesh, apply_fn: Callable, params,
                                noise_floor=refine_floor,
                                residual_shrink=refine_shrink,
                                shrink_lam=refine_shrink_lam,
-                               shrink_full_alpha=refine_shrink_full_alpha)
+                               shrink_full_alpha=refine_shrink_full_alpha,
+                               shrink_mode=refine_shrink_mode)
             z_fin = zr[halo:-halo]
         else:
             z_fin = z_raw

@@ -42,8 +42,9 @@ class VSTDenoiser:
                  pad_base: int = 32, fbi: bool = False,
                  refine: bool = False, refine_k: int = 15,
                  refine_beta: float = 1.0, refine_floor: str = "bucket",
-                 refine_shrink: bool = False, refine_shrink_lam: float = 1.0,
-                 refine_shrink_full_alpha: float = 0.6):
+                 refine_shrink: bool = True, refine_shrink_lam: float = 1.0,
+                 refine_shrink_full_alpha: float = 1.0,
+                 refine_shrink_mode: str = "oriented"):
         """fbi=True selects the blind-spot-network variant (reference
         YOND_SIDD.py:266-279): normalization by the VST output's own
         min/max instead of [VST(0), VST(scale)], and the network consumes
@@ -62,6 +63,7 @@ class VSTDenoiser:
         self.refine_shrink = refine_shrink
         self.refine_shrink_lam = refine_shrink_lam
         self.refine_shrink_full_alpha = refine_shrink_full_alpha
+        self.refine_shrink_mode = refine_shrink_mode
         self.sigma_corr = 1.03 if bias_corr == "pre" else 1.00
         self.exact_inverse = bias_corr is None and vst_type == "exact"
         self._jit = jax.jit(self._denoise)
@@ -112,7 +114,8 @@ class VSTDenoiser:
                                   residual_shrink=self.refine_shrink,
                                   shrink_lam=self.refine_shrink_lam,
                                   shrink_full_alpha=(
-                                      self.refine_shrink_full_alpha))
+                                      self.refine_shrink_full_alpha),
+                                  shrink_mode=self.refine_shrink_mode)
 
         def finish(zz):
             zz = zz * (upper - lower) + lower

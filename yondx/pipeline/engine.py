@@ -199,6 +199,7 @@ class YONDEngine:
         pipe = self.pipe
         lr = np.asarray(data["lr"], np.float32)
         regs: List[tuple] = []
+        signals: List[dict] = []
 
         # ---- Round 1: self-calibration
         if pipe.full_est:
@@ -267,8 +268,11 @@ class YONDEngine:
                 prev, prev_raw = dn, dn_raw
                 mu = float(np.mean(prev_raw))
                 agree = float(reg_agreement(regs[-1], reg, mu))
-                frac = self._dn0_noise_frac(prev_raw, reg, mu) \
-                    if policy == "rescue" else None
+                # frac is the rescue discriminator but is measured for
+                # every policy: it is cheap next to a denoise pass and
+                # the returned signal row feeds the policy-threshold
+                # sensitivity sweep (scripts/sweep_policy.py)
+                frac = self._dn0_noise_frac(prev_raw, reg, mu)
                 # rescue's blend weight is exactly 0 unless collab signals
                 # an under-estimate AND dn0 still carries residual noise —
                 # skip the dead second denoise pass (output identical;
@@ -280,17 +284,19 @@ class YONDEngine:
                     dn, dn_raw = np.asarray(dn), np.asarray(dn_raw)
                     dn = np.asarray(combine_rounds(
                         prev, dn, agree, policy=policy, tol=tol,
-                        dn0_noise_frac=frac, noise_frac_tol=nf_tol))
+                        dn0_noise_frac=frac if policy == "rescue"
+                        else None, noise_frac_tol=nf_tol))
                 log(f"Iter {epoch} policy={policy} "
                     f"disagree={agree:+.3f} (tol {tol})"
-                    + (f" dn0_noise_frac={frac:.3f} ({nf_tol})"
-                       if frac is not None else "")
+                    f" dn0_noise_frac={frac:.3f} ({nf_tol})"
                     + ("" if fire else " [second pass skipped]"),
                     logfile=self.logfile)
                 raw_dns.append(dn.copy())
                 regs.append(reg)
+                signals.append({"agree": agree, "frac": frac,
+                                "fired": bool(fire)})
 
-        return {"raw_dns": raw_dns, "regs": regs}
+        return {"raw_dns": raw_dns, "regs": regs, "signals": signals}
 
     def iter_denoise_tiled(self, data: Dict[str, Any], p: Dict[str, Any],
                            tile: int = 1024, halo: int = 64,
@@ -329,6 +335,7 @@ class YONDEngine:
             f"b={p['sigma']:.4f} (beta1={reg[0]:.3e}, beta2={reg[1]:.3e})",
             logfile=self.logfile)
         regs: List[tuple] = [reg]
+        signals: List[dict] = []
         dn, dn_raw = one_pass(lr, p)
         raw_dns = [dn.copy()]
 
@@ -356,18 +363,22 @@ class YONDEngine:
                 prev, prev_raw = dn, dn_raw
                 mu = float(np.mean(prev_raw))
                 agree = float(reg_agreement(regs[-1], reg, mu))
-                frac = self._dn0_noise_frac(prev_raw, reg, mu) \
-                    if policy == "rescue" else None
+                frac = self._dn0_noise_frac(prev_raw, reg, mu)
                 # same dead-pass skip as iter_denoise / fused.py
-                if policy != "rescue" or (agree > tol and frac > nf_tol):
+                fire = policy != "rescue" or (
+                    agree > tol and frac > nf_tol)
+                if fire:
                     dn, dn_raw = one_pass(lr, p)
                     dn = np.asarray(combine_rounds(
                         prev, dn, agree, policy=policy, tol=tol,
-                        dn0_noise_frac=frac, noise_frac_tol=nf_tol))
+                        dn0_noise_frac=frac if policy == "rescue"
+                        else None, noise_frac_tol=nf_tol))
                 raw_dns.append(dn.copy())
                 regs.append(reg)
+                signals.append({"agree": agree, "frac": frac,
+                                "fired": bool(fire)})
 
         if "rot_cfa" in p:
             raw_dns = [np.asarray(rot_bayer(jnp.asarray(d), p["cfa"],
                                             rev=True)) for d in raw_dns]
-        return {"raw_dns": raw_dns, "regs": regs}
+        return {"raw_dns": raw_dns, "regs": regs, "signals": signals}

@@ -158,9 +158,10 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
                               refine: bool = False, refine_k: int = 15,
                               refine_beta: float = 1.0,
                               refine_floor: str = "bucket",
-                              refine_shrink: bool = False,
+                              refine_shrink: bool = True,
                               refine_shrink_lam: float = 1.0,
-                              refine_shrink_full_alpha: float = 0.6,
+                              refine_shrink_full_alpha: float = 1.0,
+                              refine_shrink_mode: str = "oriented",
                               robust_nle: bool = True,
                               nle_max_px=1 << 22,
                               iter_policy: str = None,
@@ -229,7 +230,8 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
                               noise_floor=refine_floor,
                               residual_shrink=refine_shrink,
                               shrink_lam=refine_shrink_lam,
-                              shrink_full_alpha=refine_shrink_full_alpha)
+                              shrink_full_alpha=refine_shrink_full_alpha,
+                              shrink_mode=refine_shrink_mode)
 
         def finish(zz):
             zz = zz * (upper - lower) + lower

@@ -183,8 +183,112 @@ def _sep_b3_blur(c, t: int):
     return c
 
 
+def _dir_mean_noise_vars(levels: int, L: int, step_cap: int = 4):
+    """Exact white-noise variance of the L-tap directional MEAN of each
+    à-trous detail band, per direction class.
+
+    For unit-variance white input noise, the level-j detail is the input
+    convolved with D_j = s_{j-1} (x) s_{j-1} - s_j (x) s_j (2-D, sum of two
+    separables).  The directional L-tap mean at tap step t_j is a further
+    1-D convolution along the direction; the composed operator's noise
+    variance is the sum of squares of the composed 2-D kernel.  Axis
+    directions (0,1)/(1,0) share one value by symmetry, diagonals
+    (1,1)/(1,-1) share the other.  Static numpy, computed once per trace.
+
+    Returns [(nu_axis_j, nu_diag_j)] for j in range(levels).
+    """
+    h = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+    smooth = [np.array([1.0])]
+    for j in range(levels):
+        hk = np.zeros(4 * (2 ** j) + 1)
+        hk[:: 2 ** j] = h
+        smooth.append(np.convolve(smooth[-1], hk))
+
+    def kern2d(a, n):
+        out = np.zeros(n)
+        off = (n - len(a)) // 2
+        out[off:off + len(a)] = a
+        return np.outer(out, out)
+
+    m = L // 2
+    vals = []
+    for j in range(levels):
+        t = min(2 ** j, step_cap)
+        n = len(smooth[j + 1])
+        D = kern2d(smooth[j], n) - kern2d(smooth[j + 1], n)
+        pad = m * t
+        big = n + 2 * pad
+        acc_ax = np.zeros((big, big))
+        acc_dg = np.zeros((big, big))
+        for i in range(-m, m + 1):
+            acc_ax[pad:pad + n, pad + i * t:pad + i * t + n] += D
+            acc_dg[pad + i * t:pad + i * t + n,
+                   pad + i * t:pad + i * t + n] += D
+        vals.append((float(((acc_ax / L) ** 2).sum()),
+                     float(((acc_dg / L) ** 2).sum())))
+    return vals
+
+
+def _dir_coherence(d, t: int, L: int):
+    """Max over 4 orientations of the squared L-tap directional mean of a
+    band plane, channel-averaged.
+
+    A straight stroke / edge segment aligned with one of the directions
+    keeps its full band amplitude through the SIGNED mean (the detail is
+    constant along the structure), while white band noise decorrelates:
+    its directional mean has variance nu_j ~ v_j / L_eff.  The ratio
+    coh / (nu_j V) is therefore ~ L_eff for structure sitting AT the band
+    noise floor vs ~ chi^2_1 for pure noise — a separation the ISOTROPIC
+    energy e = box_mean(d^2) cannot achieve at any window size (it dilutes
+    1-px-wide strokes by the window area AND keeps full noise power).
+
+    Channel mean: the residual planes are RGGB; real strokes/edges appear
+    in all 4 planes while their noise is independent, so averaging the 4
+    per-channel means before squaring buys another 4x noise-variance
+    reduction at no structure cost.
+
+    Returns (coh_axis, coh_diag): each [..., h, w, 1].
+    """
+    m = L // 2
+    # static clamp: reflect pad needs shift < dim
+    h, w = d.shape[-3], d.shape[-2]
+    m_ax = min(m, max((min(h, w) - 1) // max(t, 1), 0))
+    dm = jnp.mean(d, axis=-1, keepdims=True)     # channel-avg, signed
+    if m_ax < 1:
+        z = dm * dm
+        return z, z
+    # ONE reflect pad; every shifted tap is a slice view of it (XLA
+    # fuses the slice-adds into a single pass — 8 separate pads per
+    # direction cost ~16% of the whole product graph on a v5e)
+    P = m_ax * t
+    pads = [(0, 0)] * d.ndim
+    pads[-3] = (P, P)
+    pads[-2] = (P, P)
+    dp = jnp.pad(dm, pads, mode="reflect")
+
+    def sl(dy, dx):
+        idx = [slice(None)] * d.ndim
+        idx[-3] = slice(P + dy, P + dy + h)
+        idx[-2] = slice(P + dx, P + dx + w)
+        return dp[tuple(idx)]
+
+    def line_mean(dy, dx):
+        acc = sl(0, 0)
+        for i in range(1, m_ax + 1):
+            acc = acc + sl(i * dy * t, i * dx * t) \
+                      + sl(-i * dy * t, -i * dx * t)
+        return acc / (2 * m_ax + 1)
+
+    coh_ax = jnp.maximum(line_mean(0, 1) ** 2, line_mean(1, 0) ** 2)
+    coh_dg = jnp.maximum(line_mean(1, 1) ** 2, line_mean(1, -1) ** 2)
+    return coh_ax, coh_dg
+
+
 def shrink_residual_atrous(r, noise_var, levels: int = 3,
-                           lam: float = 1.0, stab_k: int = 3):
+                           lam: float = 1.0, stab_k: int = 3,
+                           mode: str = "iso", dir_L: int = 9,
+                           dir_c0: float = 8.0, dir_c1: float = 8.0,
+                           return_struct: bool = False):
     """Noise-suppress a method-noise residual in the à-trous domain.
 
     The Wiener blend `out = z_dn + alpha * r` restores the RAW residual:
@@ -209,17 +313,46 @@ def shrink_residual_atrous(r, noise_var, levels: int = 3,
     fused by XLA into the surrounding graph.
     """
     det_vars, _ = _starlet_noise_vars(levels)
+    if mode == "oriented":
+        dir_vars = _dir_mean_noise_vars(levels, dir_L)
     V = jnp.asarray(noise_var, jnp.float32)
     c = r
     out = jnp.zeros_like(r)
+    # the coherence-gated part alone (oriented mode): band coefficients
+    # weighted by the structure score s only — the caller can restore
+    # this at FULL weight regardless of its Wiener alpha, because the
+    # c0 threshold bounds the false-positive noise passing the gate
+    # (return_struct=True)
+    struct = jnp.zeros_like(r)
     for j in range(levels):
         cj = _sep_b3_blur(c, 2 ** j)
         d = c - cj
         e = box_mean(d * d, stab_k)
         g = jnp.maximum(e - lam * det_vars[j] * V, 0.0) \
             / jnp.maximum(e, 1e-20)
+        if mode == "oriented":
+            # orientation-coherence structure gate: a straight stroke /
+            # edge keeps its full band amplitude through the SIGNED
+            # directional mean while band noise decorrelates (~nu_j =
+            # v_j / L_eff), so q = coh / (nu_j V) separates structure AT
+            # the noise floor (q ~ L_eff, channel-avg adds 4x) from noise
+            # (q ~ chi^2 max, c0 sits above its bulk). s lifts the gain
+            # toward 1 where a direction fires; away from structure the
+            # isotropic empirical-Wiener term g keeps working alone.
+            nu_ax, nu_dg = dir_vars[j]
+            # channel-mean of C independent planes: noise variance / C
+            nu_ax, nu_dg = nu_ax / r.shape[-1], nu_dg / r.shape[-1]
+            coh_ax, coh_dg = _dir_coherence(d, min(2 ** j, 4), dir_L)
+            q = jnp.maximum(coh_ax / (nu_ax * V + 1e-30),
+                            coh_dg / (nu_dg * V + 1e-30))
+            qe = jnp.maximum(q - dir_c0, 0.0)
+            s = qe / (qe + dir_c1)
+            g = g + (1.0 - g) * s
+            struct = struct + s * d
         out = out + g * d
         c = cj
+    if return_struct:
+        return out + c, struct
     return out + c
 
 
@@ -228,8 +361,9 @@ def wiener_refine(z_dn, z_noisy, noise_var=1.0, *, k: int = 15,
                   sat_lo: float = 0.92, sat_hi: float = 0.98,
                   noise_floor: str = "q10", floor_stride: int = 32,
                   residual_shrink: bool = False,
-                  shrink_levels: int = 3, shrink_lam: float = 1.0,
-                  shrink_full_alpha: float = 0.6):
+                  shrink_lam: float = 1.0,
+                  shrink_full_alpha: float = 0.6,
+                  shrink_mode: str = "iso"):
     """Refine a VST-space denoiser output against its own input.
 
     z_dn, z_noisy : [..., h, w, C] VST-normalized planes (same units; the
@@ -359,20 +493,61 @@ def wiener_refine(z_dn, z_noisy, noise_var=1.0, *, k: int = 15,
     if residual_shrink:
         # the post-floor noise_var is the local noise power the shrink
         # should null against (bucket/local floors are per-pixel maps)
-        rs = shrink_residual_atrous(r, noise_var, levels=shrink_levels,
-                                    lam=shrink_lam)
-        # Ramp the shrink OFF as alpha saturates: at alpha ~ 1 the blend
-        # is restoring structure the net destroyed outright, and the
-        # TPU-measured held-out rows show the real residual structure
-        # there (thin strokes, clipped disk edges) is too close to the
-        # band noise floor to survive the shrink (glyphs -0.15/-0.25,
-        # satdisk_mid -0.51 dB with the unconditional shrink), while the
-        # mid-alpha texture-restore regions gain from the noise
-        # suppression (radial_mid +0.60, ramp_mid +0.72). Below
-        # shrink_full_alpha the shrunk residual is used as-is; above it a
-        # linear ramp hands back the raw residual, recovering the
-        # baseline blend exactly at alpha = 1.
-        w = jnp.clip((alpha - shrink_full_alpha)
-                     / (1.0 - shrink_full_alpha), 0.0, 1.0)
-        r = rs + w * (r - rs)
+        # level count fixed at the shrink's default (3): ADVICE r4 — a
+        # knob threaded nowhere is config noise; tune via
+        # shrink_residual_atrous directly if it ever needs to move
+        rs, rs_struct = shrink_residual_atrous(
+            r, noise_var, lam=shrink_lam, mode=shrink_mode,
+            return_struct=True)
+        if shrink_full_alpha >= 1.0:
+            # Shrink everywhere, no ramp-off, PLUS full-weight structure
+            # restore:   out = z_dn + alpha*rs + (1-alpha)*rs_struct.
+            # The raw-residual handback (the fa<1 ramp) was the
+            # glyph-class margin ceiling — on stroke-dense frames alpha
+            # saturates over most of the frame and the ramp re-added
+            # noise frame-wide. But simply re-pricing alpha against the
+            # shrink's surviving noise fails in both directions
+            # (round-5 TPU dissection):
+            # - raw sigma_d^2 over a small denominator amplifies the
+            #   alpha estimator's false positives on scenes where the
+            #   net is already excellent (ramp_mid: net alone 51.8 dB,
+            #   residual struct/noise = 0.013 — chatter rode alpha to
+            #   ~0.9 and re-added leaked noise, -1.5 dB);
+            # - measuring the numerator on the shrunk residual is
+            #   defeated by the empirical-Wiener selection bias (g
+            #   keeps exactly the noise that looks energetic, so
+            #   box(rs^2) sits far above the analytic per-band leak).
+            # The structure TERM sidesteps alpha entirely: the
+            # orientation-coherence score s passes 1-D coherent
+            # structure (strokes, edges) at a bounded noise
+            # false-positive rate (c0 sits above the max-of-4 chi^2
+            # bulk), so the part of the residual the gate vouches for
+            # is restored at FULL weight; everything else still rides
+            # the proven Wiener alpha on the shrunk residual. Total
+            # band weight alpha*g + (1-alpha)*s <= 1 (g >= s by
+            # construction). The saturation guard applies to the
+            # structure term too (clipped-noise coherence near the
+            # white point is not structure).
+            w_struct = 1.0 - alpha
+            if x01 is not None:
+                w_struct = w_struct * (1.0 - sat)
+            return z_dn + alpha * rs + w_struct * rs_struct
+        else:
+            # Ramp the shrink OFF as alpha saturates: at alpha ~ 1 the
+            # blend is restoring structure the net destroyed outright,
+            # and with the ISOTROPIC gain the real residual structure
+            # there (thin strokes, clipped disk edges) is too close to
+            # the band noise floor to survive the shrink (glyphs
+            # -0.15/-0.25, satdisk_mid -0.51 dB with the unconditional
+            # iso shrink), while the mid-alpha texture-restore regions
+            # gain from the noise suppression (radial_mid +0.60,
+            # ramp_mid +0.72). Below shrink_full_alpha the shrunk
+            # residual is used as-is; above it a linear ramp hands back
+            # the raw residual, recovering the baseline blend exactly at
+            # alpha = 1.
+            # clamp keeps the ramp well-defined (fa -> 1 from below was
+            # a silent divide-through that pinned w at 1 everywhere)
+            fa = min(shrink_full_alpha, 1.0 - 1e-6)
+            w = jnp.clip((alpha - fa) / (1.0 - fa), 0.0, 1.0)
+            r = rs + w * (r - rs)
     return z_dn + alpha * r
