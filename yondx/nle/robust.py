@@ -248,10 +248,43 @@ def mad_self_estimate(rggb):
     return mad_pg_fit(*_maybe_subsample(d, m))
 
 
-def mad_noise_floor(rggb, q: float = 0.2):
+def _flat_quantile_sigma(d, m, q: float):
+    """q-quantile of |d| over mid-tone cells -> half-normal sigma.
+
+    Histogram quantile instead of a sort: a 512k jnp.sort costs ~24 ms
+    on a v5e (measured in-graph; this runs once per iteration round in
+    the fused product graph), a 512-bin log|d| histogram + cdf walk
+    ~3 ms at the same <=3% quantile resolution."""
+    from jax.scipy.special import erfinv
+    d = jnp.abs(d)
+    valid = (m > 0.02) & (m < 0.9)
+    n = jnp.sum(valid)
+    nbins = 512
+    span = float(np.log(1e6))
+    dmax = jnp.max(jnp.where(valid, d, 0.0)) + 1e-30
+    r = jnp.clip(d / dmax, np.exp(-span), 1.0)
+    dbin = jnp.clip(((jnp.log(r) + span) / span * nbins).astype(jnp.int32),
+                    0, nbins - 1)
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.float32).reshape(-1), dbin.reshape(-1),
+        num_segments=nbins)
+    cdf = jnp.cumsum(counts)
+    rank = q * n
+    qbin = jnp.argmax(cdf >= rank)
+    below = jnp.where(qbin > 0, cdf[jnp.maximum(qbin - 1, 0)], 0.0)
+    frac = jnp.clip((rank - below)
+                    / jnp.maximum(counts[qbin], 1e-30), 0.0, 1.0)
+    dq = dmax * jnp.exp((qbin.astype(jnp.float32) + frac) / nbins * span
+                        - span)
+    sigma = dq / (jnp.sqrt(2.0) * erfinv(jnp.float32(q)))
+    return jnp.where(n > 16, sigma, 0.0)
+
+
+def mad_noise_floor(rggb, q: float = 0.2, levels: int = 3):
     """Content-free LOWER bound on a frame's noise std (normalized
-    units): the q-th quantile of Haar |detail| over mid-tone cells,
-    calibrated by the half-normal quantile factor sqrt(2)*erfinv(q).
+    units): the MAX over `levels` Haar scales of the q-th |detail|
+    quantile over mid-tone cells, each calibrated by the half-normal
+    factor sqrt(2)*erfinv(q) and the scale's input-referred noise gain.
 
     Why a LOW quantile instead of the per-bucket median fit
     (mad_self_estimate): content inflates only the cells it touches, and
@@ -264,36 +297,67 @@ def mad_noise_floor(rggb, q: float = 0.2):
     intensity; mixture contamination can only push the reading UP by a
     bounded factor (<= q-remap), and clipped cells (m < 0.02 or > 0.9,
     genuinely sub-noise) are excluded so black frames do not fake a
-    floor. Used by the iteration policy's under-smoothing discriminator
-    (pipeline/policy.py dn0_noise_frac)."""
-    from jax.scipy.special import erfinv
+    floor.
+
+    Why MULTI-scale (round-5 fault-ladder finding, scripts/
+    sweep_policy.py): a real SNR-net guided far below the true noise
+    level removes the FINEST-band noise first and leaves mid-frequency
+    residual noise — the single-level floor read ~0.003x the collab
+    model even under a 25x sigma under-estimate, silently disabling the
+    rescue policy with the real net (the toy net in the original fault
+    test kept finest-band noise, masking this). Recursing the Haar on
+    the cell means reads each octave: level j detail of white
+    input-noise sigma has std sigma/2^j, so the 2^j gain makes every
+    level input-referred and the max catches residual noise wherever
+    the net left it. On a truly clean frame all levels read ~0 (the
+    flattest 20% of cells at every scale are flat). Since round 5 the
+    dn0 reading is TELEMETRY only (the sweep showed no dn0 statistic
+    separates true faults from content-inflated impostors — see
+    pipeline/policy.py); the rescue gate reads the INPUT through
+    `flat_floor_stats` instead."""
+    x = _band_subsample_rows(rggb.astype(jnp.float32), 4 * _MAX_CELLS)
+    floor = jnp.float32(0.0)
+    for j in range(levels):
+        d, m = _haar_hh(x)
+        if j == 0:
+            d, m2 = _maybe_subsample(d, m)
+            sig = _flat_quantile_sigma(d, m2, q)
+        else:
+            sig = _flat_quantile_sigma(d, m, q)
+        floor = jnp.maximum(floor, sig * (2.0 ** j))
+        x = m
+        if min(x.shape[-3], x.shape[-2]) < 8:
+            break
+    return floor
+
+
+def flat_floor_stats(rggb, q: float = 0.2):
+    """(floor_sigma, mu_mid): the level-1 content-free noise floor plus
+    the mean intensity of the mid-tone cells it reads.
+
+    Callers comparing the floor against an intensity-dependent noise
+    model (beta1 * mu + beta2) MUST evaluate the model at mu_mid, not
+    the frame's global mean: on a nearly-black frame the global mean
+    sits below every cell the floor is allowed to read (the m > 0.02
+    clip-exclusion), so the model is evaluated at ~zero variance while
+    the floor reads real mid-tone noise — measured on the ramp_big
+    held-out scene (global mean 0.004): floor^2/v_self = 7.97 at the
+    global mean vs ~<= 1 at mu_mid (scripts/probe_floor_discriminator
+    .py). Remaining bias: the flattest-q cells skew toward the DARKEST
+    valid cells under Poisson noise, so v_self(mu_mid) slightly
+    overestimates the noise at the selected cells — the ratio reads
+    conservatively LOW, which for the rescue gate means holding
+    round 0 (never harmful). Level 1 only: the input's noise is white,
+    the finest Haar band reads all of it, and deeper bands only add
+    content leak."""
     x = _band_subsample_rows(rggb.astype(jnp.float32), 4 * _MAX_CELLS)
     d, m = _haar_hh(x)
-    d, m = _maybe_subsample(jnp.abs(d), m)
+    d, m = _maybe_subsample(d, m)
+    sigma = _flat_quantile_sigma(d, m, q)
     valid = (m > 0.02) & (m < 0.9)
-    n = jnp.sum(valid)
-    # histogram quantile instead of a sort: a 512k jnp.sort costs ~24 ms
-    # on a v5e (measured in-graph; this runs once per iteration round in
-    # the fused product graph), a 512-bin log|d| histogram + cdf walk
-    # ~3 ms at the same <=3% quantile resolution
-    nbins = 512
-    span = float(np.log(1e6))
-    dmax = jnp.max(jnp.where(valid, d, 0.0)) + 1e-30
-    r = jnp.clip(d / dmax, np.exp(-span), 1.0)
-    dbin = jnp.clip(((jnp.log(r) + span) / span * nbins).astype(jnp.int32),
-                    0, nbins - 1)
-    counts = jax.ops.segment_sum(valid.astype(jnp.float32), dbin,
-                                 num_segments=nbins)
-    cdf = jnp.cumsum(counts)
-    rank = q * n
-    qbin = jnp.argmax(cdf >= rank)
-    below = jnp.where(qbin > 0, cdf[jnp.maximum(qbin - 1, 0)], 0.0)
-    frac = jnp.clip((rank - below)
-                    / jnp.maximum(counts[qbin], 1e-30), 0.0, 1.0)
-    dq = dmax * jnp.exp((qbin.astype(jnp.float32) + frac) / nbins * span
-                        - span)
-    sigma = dq / (jnp.sqrt(2.0) * erfinv(jnp.float32(q)))
-    return jnp.where(n > 16, sigma, 0.0)
+    mu_mid = jnp.sum(jnp.where(valid, m, 0.0)) \
+        / jnp.maximum(jnp.sum(valid), 1)
+    return sigma, mu_mid
 
 
 def mad_collab_estimate(lr_rggb, dn_rggb):

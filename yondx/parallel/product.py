@@ -105,11 +105,20 @@ def iter_denoise_frame_sharded(mesh: Mesh, engine, bayer: np.ndarray,
     outs = [dn]
 
     if pipe.iter == "iter":
-        from ..pipeline.policy import DEFAULT_NOISE_FRAC
+        from ..pipeline.policy import DEFAULT_FLOOR_FRAC
         policy = pipe.extras.get("iter_policy", DEFAULT_POLICY)
         tol = float(pipe.extras.get("iter_policy_tol", DEFAULT_TOL))
-        nf_tol = float(pipe.extras.get("iter_policy_noise_frac",
-                                       DEFAULT_NOISE_FRAC))
+        ff_tol = float(pipe.extras.get("iter_policy_floor_frac",
+                                       DEFAULT_FLOOR_FRAC))
+        ffrac = None
+        if policy == "rescue":
+            # certified-under-estimate gate on the INPUT (engine.
+            # _input_floor_frac semantics; model evaluated at the
+            # floor's own mid-tone mean, flat_floor_stats docstring)
+            from ..nle.robust import flat_floor_stats
+            floor0, mu_mid0 = flat_floor_stats(x)
+            ffrac = float(floor0) ** 2 \
+                / max(b1 * float(mu_mid0) + max(b2, 0.0), 1e-30)
         for epoch in range(1, pipe.max_iter + 1):
             c1, c2 = (float(v) for v in sharded_collab_nlf_robust(
                 mesh, x, dn_raw, k=pipe.k, axis=axis, self_reg=regs[0]))
@@ -128,18 +137,13 @@ def iter_denoise_frame_sharded(mesh: Mesh, engine, bayer: np.ndarray,
             prev, prev_raw = dn, dn_raw
             mu = float(jnp.mean(jnp.clip(prev_raw, 0.0, 1.0)))
             agree = float(reg_agreement(regs[-1], (c1, c2), mu))
-            frac = None
-            if policy == "rescue":
-                from ..nle.robust import mad_noise_floor
-                floor = float(mad_noise_floor(prev_raw))
-                frac = floor ** 2 / max(c1 * mu + c2, 1e-30)
             # same dead-pass skip as pipeline/engine.py + fused.py
-            if policy != "rescue" or (agree > tol and frac > nf_tol):
+            if policy != "rescue" or (agree > tol and ffrac > ff_tol):
                 dn, dn_raw = one_pass(c1 * dn_units,
                                       float(np.sqrt(c2)) * dn_units)
                 dn = combine_rounds(prev, dn, agree, policy=policy,
-                                    tol=tol, dn0_noise_frac=frac,
-                                    noise_frac_tol=nf_tol)
+                                    tol=tol, floor_frac=ffrac,
+                                    floor_frac_tol=ff_tol)
             outs.append(dn)
             regs.append((c1, c2))
 

@@ -173,16 +173,36 @@ class YONDEngine:
 
     def _dn0_noise_frac(self, dn_raw_bayer, collab_reg, mu: float) -> float:
         """Blind noise-floor measurement ON the round-0 raw output, as a
-        fraction of the collab noise model — the rescue policy's
-        under-smoothing discriminator (pipeline/policy.py). Uses the
-        content-free low-quantile floor (nle.robust.mad_noise_floor):
-        the bucket-median fit reads preserved stroke detail as noise
-        (glyphs class), the flat-cell floor does not."""
+        fraction of the collab noise model. TELEMETRY ONLY since round 5:
+        the threshold sweep (docs/policy_sweep_r5.json) showed this
+        signal's ordering is wrong with a real net (see
+        pipeline/policy.py docstring); the rescue gate now uses
+        `_input_floor_frac`. Kept in the `signals` rows so production
+        logs retain the dn0-residual view."""
         from ..nle.robust import mad_noise_floor
         rggb = bayer2rggb(jnp.asarray(dn_raw_bayer, jnp.float32))
         floor = float(mad_noise_floor(rggb))
         v_col = collab_reg[0] * mu + collab_reg[1]
         return floor ** 2 / max(v_col, 1e-30)
+
+    def _input_floor_frac(self, lr_bayer, self_reg) -> float:
+        """Certified-under-estimate confidence: the content-free
+        low-quantile noise floor of the NOISY INPUT measured against
+        the self noise model, as a variance ratio. The floor is a
+        LOWER bound on the true noise level — content can only inflate
+        it — so ffrac >> 1 proves the self estimate sat below the
+        frame's own noise; on content-inflated impostor scenes
+        (glyphs, clipped ramps) the self estimate is inflated by the
+        same content and the ratio stays ~<= 1. The model is evaluated
+        at the floor's own mid-tone mean intensity (flat_floor_stats:
+        the global mean breaks on nearly-black frames). Probed
+        landscape: scripts/probe_floor_discriminator.py. Rescue-policy
+        gate, pipeline/policy.py DEFAULT_FLOOR_FRAC."""
+        from ..nle.robust import flat_floor_stats
+        rggb = bayer2rggb(jnp.asarray(lr_bayer, jnp.float32))
+        floor, mu_mid = flat_floor_stats(rggb)
+        v_self = self_reg[0] * float(mu_mid) + max(self_reg[1], 0.0)
+        return float(floor) ** 2 / max(v_self, 1e-30)
 
     # -------------------------------------------------------------- main
     def iter_denoise(self, data: Dict[str, Any], p: Dict[str, Any],
@@ -245,11 +265,15 @@ class YONDEngine:
         if pipe.iter == "iter":
             from .policy import (combine_rounds, reg_agreement,
                                  DEFAULT_POLICY, DEFAULT_TOL,
-                                 DEFAULT_NOISE_FRAC)
+                                 DEFAULT_FLOOR_FRAC)
             policy = pipe.extras.get("iter_policy", DEFAULT_POLICY)
             tol = float(pipe.extras.get("iter_policy_tol", DEFAULT_TOL))
-            nf_tol = float(pipe.extras.get("iter_policy_noise_frac",
-                                           DEFAULT_NOISE_FRAC))
+            ff_tol = float(pipe.extras.get("iter_policy_floor_frac",
+                                           DEFAULT_FLOOR_FRAC))
+            # computed for every policy: cheap next to a denoise pass,
+            # and the signal rows feed scripts/sweep_policy.py (which
+            # records signals under policy='replace')
+            ffrac = self._input_floor_frac(lr, regs[0])
             for epoch in range(1, pipe.max_iter + 1):
                 reg = self._estimate_collab(lr, dn_raw, self_reg=regs[0])
                 if reg[1] < 0:
@@ -268,33 +292,35 @@ class YONDEngine:
                 prev, prev_raw = dn, dn_raw
                 mu = float(np.mean(prev_raw))
                 agree = float(reg_agreement(regs[-1], reg, mu))
-                # frac is the rescue discriminator but is measured for
-                # every policy: it is cheap next to a denoise pass and
-                # the returned signal row feeds the policy-threshold
-                # sensitivity sweep (scripts/sweep_policy.py)
+                # dn0 frac is telemetry only (see _dn0_noise_frac); it
+                # is cheap next to a denoise pass and the signal rows
+                # feed the sweep artifact (scripts/sweep_policy.py)
                 frac = self._dn0_noise_frac(prev_raw, reg, mu)
                 # rescue's blend weight is exactly 0 unless collab signals
-                # an under-estimate AND dn0 still carries residual noise —
-                # skip the dead second denoise pass (output identical;
-                # mirrors the lax.cond in pipeline/fused.py)
+                # an under-estimate AND the input's noise floor certifies
+                # the self model was low — skip the dead second denoise
+                # pass (output identical; mirrors the lax.cond in
+                # pipeline/fused.py)
                 fire = policy != "rescue" or (
-                    agree > tol and frac > nf_tol)
+                    agree > tol and ffrac > ff_tol)
                 if fire:
                     dn, dn_raw = self._denoise_round(lr, p, hr=dn)
                     dn, dn_raw = np.asarray(dn), np.asarray(dn_raw)
                     dn = np.asarray(combine_rounds(
                         prev, dn, agree, policy=policy, tol=tol,
-                        dn0_noise_frac=frac if policy == "rescue"
-                        else None, noise_frac_tol=nf_tol))
+                        floor_frac=ffrac if policy == "rescue"
+                        else None, floor_frac_tol=ff_tol))
                 log(f"Iter {epoch} policy={policy} "
                     f"disagree={agree:+.3f} (tol {tol})"
-                    f" dn0_noise_frac={frac:.3f} ({nf_tol})"
+                    + (f" input_floor_frac={ffrac:.3f} ({ff_tol})"
+                       if ffrac is not None else "")
+                    + f" dn0_noise_frac={frac:.3f}"
                     + ("" if fire else " [second pass skipped]"),
                     logfile=self.logfile)
                 raw_dns.append(dn.copy())
                 regs.append(reg)
                 signals.append({"agree": agree, "frac": frac,
-                                "fired": bool(fire)})
+                                "ffrac": ffrac, "fired": bool(fire)})
 
         return {"raw_dns": raw_dns, "regs": regs, "signals": signals}
 
@@ -342,9 +368,10 @@ class YONDEngine:
         if pipe.iter == "iter":
             policy = pipe.extras.get("iter_policy", DEFAULT_POLICY)
             tol = float(pipe.extras.get("iter_policy_tol", DEFAULT_TOL))
-            from .policy import DEFAULT_NOISE_FRAC
-            nf_tol = float(pipe.extras.get("iter_policy_noise_frac",
-                                           DEFAULT_NOISE_FRAC))
+            from .policy import DEFAULT_FLOOR_FRAC
+            ff_tol = float(pipe.extras.get("iter_policy_floor_frac",
+                                           DEFAULT_FLOOR_FRAC))
+            ffrac = self._input_floor_frac(lr, regs[0])
             for epoch in range(1, pipe.max_iter + 1):
                 reg = self._estimate_collab(lr, dn_raw, self_reg=regs[0])
                 if reg[1] < 0:
@@ -366,17 +393,17 @@ class YONDEngine:
                 frac = self._dn0_noise_frac(prev_raw, reg, mu)
                 # same dead-pass skip as iter_denoise / fused.py
                 fire = policy != "rescue" or (
-                    agree > tol and frac > nf_tol)
+                    agree > tol and ffrac > ff_tol)
                 if fire:
                     dn, dn_raw = one_pass(lr, p)
                     dn = np.asarray(combine_rounds(
                         prev, dn, agree, policy=policy, tol=tol,
-                        dn0_noise_frac=frac if policy == "rescue"
-                        else None, noise_frac_tol=nf_tol))
+                        floor_frac=ffrac if policy == "rescue"
+                        else None, floor_frac_tol=ff_tol))
                 raw_dns.append(dn.copy())
                 regs.append(reg)
                 signals.append({"agree": agree, "frac": frac,
-                                "fired": bool(fire)})
+                                "ffrac": ffrac, "fired": bool(fire)})
 
         if "rot_cfa" in p:
             raw_dns = [np.asarray(rot_bayer(jnp.asarray(d), p["cfa"],

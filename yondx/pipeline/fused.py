@@ -319,7 +319,7 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             return collab_fit(lr, dn)
 
     from .policy import (combine_rounds, reg_agreement, DEFAULT_POLICY,
-                         DEFAULT_TOL, DEFAULT_NOISE_FRAC)
+                         DEFAULT_TOL, DEFAULT_FLOOR_FRAC)
     policy = iter_policy if iter_policy is not None else DEFAULT_POLICY
     ptol = iter_policy_tol if iter_policy_tol is not None else DEFAULT_TOL
 
@@ -328,6 +328,17 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
         b1 = jnp.maximum(b1, 1e-4 / scale)  # defensive K clamp
         K0 = b1 * scale
         sig0 = jnp.sqrt(jnp.maximum(b2, 0.0)) * scale
+        if policy == "rescue" and max_iter > 0:
+            # certified-under-estimate gate, measured ONCE on the input
+            # (pipeline/policy.py DEFAULT_FLOOR_FRAC; engine analog
+            # engine._input_floor_frac): the input floor is a lower
+            # bound on true noise, so floor^2 >> v_self proves the self
+            # model low; the model is evaluated at the floor's own
+            # mid-tone mean (flat_floor_stats docstring)
+            from ..nle.robust import flat_floor_stats
+            floor0, mu_mid0 = flat_floor_stats(rggb)
+            ffrac = floor0 ** 2 / jnp.maximum(
+                b1 * mu_mid0 + jnp.maximum(b2, 0.0), 1e-30)
         dn, dn_raw = denoise(rggb, K0, sig0, scale)
 
         regs = [jnp.stack([b1, b2])]
@@ -350,23 +361,20 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             agree = reg_agreement((regs[-1][0], regs[-1][1]), (c1, c2),
                                   mu)
             if policy == "rescue":
-                from ..nle.robust import mad_noise_floor
-                floor = mad_noise_floor(dn_raw)
-                frac = floor ** 2 / jnp.maximum(c1 * mu + c2, 1e-30)
                 # the rescue blend weight is EXACTLY 0 unless collab says
-                # the noise was under-estimated by > tol AND the round-0
-                # output still carries residual noise — so the second
-                # denoise pass is dead compute on the common path.
+                # the noise was under-estimated by > tol AND the input's
+                # noise floor certifies the self model was low — so the
+                # second denoise pass is dead compute on the common path.
                 # lax.cond executes one branch at runtime: skipping saves
                 # a whole net forward + refine per frame (the output is
                 # bit-identical; w > 0 <=> need).
-                need = ok & (agree > ptol) & (frac > DEFAULT_NOISE_FRAC)
+                need = ok & (agree > ptol) & (ffrac > DEFAULT_FLOOR_FRAC)
 
                 def _second_pass(_):
                     dn1, dn1_raw = denoise(rggb, K1, sig1, scale)
                     dn1 = combine_rounds(dn, dn1, agree, policy=policy,
-                                         tol=ptol, dn0_noise_frac=frac,
-                                         noise_frac_tol=DEFAULT_NOISE_FRAC)
+                                         tol=ptol, floor_frac=ffrac,
+                                         floor_frac_tol=DEFAULT_FLOOR_FRAC)
                     return dn1, dn1_raw
 
                 dn, dn_raw = jax.lax.cond(
@@ -374,8 +382,7 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
             else:
                 dn1, dn1_raw = denoise(rggb, K1, sig1, scale)
                 dn1 = combine_rounds(dn, dn1, agree, policy=policy,
-                                     tol=ptol, dn0_noise_frac=None,
-                                     noise_frac_tol=DEFAULT_NOISE_FRAC)
+                                     tol=ptol, floor_frac=None)
                 dn = jnp.where(ok, dn1, dn)
                 dn_raw = jnp.where(ok, dn1_raw, dn_raw)
             regs.append(jnp.where(ok, jnp.stack([c1, c2]), regs[-1]))

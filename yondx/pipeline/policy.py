@@ -35,12 +35,25 @@ One more condition separates a TRUE under-estimate from its impostor.
 On stroke-dense content (the glyphs held-out class) BOTH estimators are
 inflated by content and collab comes back above self — a fake
 "under-estimate" signal (measured round 4: rescue replaced it1 on
-glyphs_lo and broke do-no-harm by 0.05 dB). The discriminator is the
-round-0 OUTPUT itself: after a real under-estimate the net leaves
-residual noise in dn0, so a blind MAD estimate ON dn0 returns a
-significant fraction of the collab level; after over-smoothing, dn0 is
-smooth and measures ~0. `dn0_noise_frac` (engine-supplied
-mad(dn0)/v_collab) gates the rescue on that physical signature.
+glyphs_lo and broke do-no-harm by 0.05 dB). The round-4 discriminator
+measured residual noise ON dn0; the round-5 threshold sweep
+(scripts/sweep_policy.py, docs/policy_sweep_r5.json) showed its
+ordering is WRONG with a real net: an under-guided SNR-net still
+cleans the flattest cells — the only cells a content-free floor can
+read — and leaves its error at edges/mid-frequencies, so genuine
+K-faults measured 0.006-0.12 of the collab level while the
+content-inflated impostors measured 0.15-2.5 (glyphs_lo2 0.74,
+zoneplate 2.5). No dn0 statistic separates the cases.
+
+The replacement signal reads the NOISY INPUT instead
+(`input_floor_frac`, engine-supplied floor(lr)^2 / v_self): the
+content-free low-quantile noise floor of the input is a LOWER bound on
+the true noise level (content can only push it up), so
+"self model below the input's own floor" is an under-estimate
+certified from the input alone. On impostor scenes the self estimate
+is inflated by the same content that inflates collab, so the ratio
+stays ~<= 1; probed landscape in scripts/probe_floor_discriminator.py
+and the sweep artifact.
 
 Policies (all blind, all jit-safe arithmetic on a SIGNED disagreement):
 - 'replace'   reference semantics: it1 wins (golden-gate parity mode).
@@ -56,9 +69,16 @@ import jax.numpy as jnp
 POLICIES = ("replace", "avg", "guard", "avg_guard", "rescue")
 DEFAULT_POLICY = "rescue"
 DEFAULT_TOL = 0.15
-# rescue fires only when the round-0 output still carries at least this
-# fraction of the collab noise level (true under-smoothing signature);
-# a well-denoised dn0 measures ~0.05-0.1 of its noise model here
+# rescue fires only when the input's content-free noise floor sits
+# above the self noise model by this variance ratio (a certified
+# under-estimate: the floor is a lower bound on true noise). Chosen
+# from the round-5 sweep landscape (docs/policy_sweep_r5.json):
+# genuine K-faults read 1/f..1/f^2 (>= 2 at f=0.5), impostor scenes
+# (content-inflated self+collab) read <= ~1.
+DEFAULT_FLOOR_FRAC = 1.5
+# retired round-4 gate (dn0-residual-noise fraction): kept only as the
+# default for telemetry comparisons; see the module docstring for why
+# its ordering fails with a real net
 DEFAULT_NOISE_FRAC = 0.15
 
 
@@ -76,14 +96,15 @@ def reg_agreement(self_reg, collab_reg, mean_intensity):
 
 
 def combine_rounds(dn0, dn1, disagree, policy: str = DEFAULT_POLICY,
-                   tol: float = DEFAULT_TOL, dn0_noise_frac=None,
-                   noise_frac_tol: float = DEFAULT_NOISE_FRAC):
+                   tol: float = DEFAULT_TOL, floor_frac=None,
+                   floor_frac_tol: float = DEFAULT_FLOOR_FRAC):
     """Combine the round-0 and round-1 outputs per the policy.
 
     dn0/dn1: arrays (any matching shape); disagree: SIGNED scalar from
-    `reg_agreement`; dn0_noise_frac: optional scalar, the blind MAD noise
-    estimate ON dn0 relative to the collab model (rescue fires only when
-    it exceeds noise_frac_tol — the true under-smoothing signature).
+    `reg_agreement`; floor_frac: optional scalar, the input's
+    content-free noise floor (variance) relative to the SELF noise
+    model (rescue fires only when it exceeds floor_frac_tol — the
+    certified-under-estimate signature, see module docstring).
     Pure arithmetic — safe inside jit (the engine calls it on numpy
     arrays, the fused path on traced values).
     """
@@ -93,8 +114,8 @@ def combine_rounds(dn0, dn1, disagree, policy: str = DEFAULT_POLICY,
         return 0.5 * dn0 + 0.5 * dn1
     if policy == "rescue":
         w = jnp.clip((disagree - tol) / (2.0 * tol), 0.0, 1.0)
-        if dn0_noise_frac is not None:
-            w = w * (dn0_noise_frac > noise_frac_tol)
+        if floor_frac is not None:
+            w = w * (floor_frac > floor_frac_tol)
         return (1.0 - w) * dn0 + w * dn1
     take = jnp.abs(disagree) > tol
     if policy == "guard":
