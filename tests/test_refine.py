@@ -368,6 +368,26 @@ class TestHeldoutSuite:
         np.testing.assert_array_equal(c1, c2)
         np.testing.assert_array_equal(n1, n2)
 
+    def test_v3_photo_class_frozen(self):
+        """The v3 photographic class reads COMMITTED crop bytes (not the
+        matplotlib sample it was cut from) and builds deterministically;
+        v1/v2 stay untouched by the v3 extension."""
+        from yondx.eval.heldout import (SUITES, build_scene, _photo,
+                                        HELDOUT_SCENES,
+                                        HELDOUT_SCENES_V2_EXTRA)
+        assert SUITES["v3"][:len(SUITES["v2"])] == SUITES["v2"]
+        photo = [s for s in SUITES["v3"] if s.kind == "photo"]
+        assert len(photo) == 3
+        img = _photo(np.random.default_rng(0))
+        assert img.shape == (512, 512, 3) and img.dtype == np.float32
+        assert 0.0 <= img.min() and img.max() <= 1.0
+        c1, n1 = build_scene(photo[0], n_crops=2)
+        c2, n2 = build_scene(photo[0], n_crops=2)
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(n1, n2)
+        assert len(SUITES["v2"]) == len(HELDOUT_SCENES) + len(
+            HELDOUT_SCENES_V2_EXTRA)
+
     def test_suite_covers_bands_and_disjoint_probe(self):
         from yondx.eval.heldout import HELDOUT_SCENES
         names = {s.name for s in HELDOUT_SCENES}
