@@ -134,6 +134,11 @@ def main():
                          "Wiener, 'oriented' (default) = + orientation-"
                          "coherence structure gate (keeps strokes/edges "
                          "at the band noise floor)")
+    ap.add_argument("--sigma-corr", default=None,
+                    help="guidance scale: unset = the reference fixed "
+                         "1.03, a float = that fixed value, 'adaptive' "
+                         "= the measured blind rule (pipeline/denoiser"
+                         ".py, artifact docs/sigma_corr_blind_r5.json)")
     ap.add_argument("--scene-filter", default=None,
                     help="with --heldout: comma-separated substring "
                          "filter on scene names (fast probe loops)")
@@ -178,13 +183,17 @@ def main():
         else:
             log("WARNING: random weights")
 
+        sc = args.sigma_corr
+        if sc is not None and sc != "adaptive":
+            sc = float(sc)
         den = VSTDenoiser(model, params, guided=True, bias_corr="pre",
                           vst_type="exact", refine=args.refine is not None,
                           refine_floor=args.refine or "bucket",
                           refine_shrink=args.shrink,
                           refine_shrink_lam=args.shrink_lam,
                           refine_shrink_full_alpha=args.shrink_full_alpha,
-                          refine_shrink_mode=args.shrink_mode)
+                          refine_shrink_mode=args.shrink_mode,
+                          sigma_corr=sc)
     est_models = {}
     extras = {}
     est_type = "simple"
@@ -227,6 +236,7 @@ def main():
                            "shrink_lam": args.shrink_lam,
                            "shrink_full_alpha": args.shrink_full_alpha,
                            "shrink_mode": args.shrink_mode,
+                           "sigma_corr": args.sigma_corr,
                            "suite": args.suite,
                            "est": args.est, "rows": rows}, f, indent=1)
             log(f"wrote {args.json}")

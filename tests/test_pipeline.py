@@ -205,3 +205,57 @@ def test_fbi_variant_runs():
                          np.zeros(len(FULL_X_GRID), np.float32),
                          8.0, 10.0, 959.0))
     assert out.shape == x.shape and np.isfinite(out).all()
+
+
+def test_adaptive_sigma_corr_rule():
+    """The blind guidance-scale rule (pipeline/denoiser.py, measured in
+    docs/sigma_corr_blind_r5.json): noise band picks the base value
+    (lo 1.03 / mid 1.08 / hi 1.00) and heavy clipping with MAD/fit
+    agreement boosts to 1.25."""
+    from yondx.pipeline.denoiser import adaptive_sigma_corr
+    rng = np.random.default_rng(7)
+    scale = 959.0
+
+    def synth(K, sigma, sat_frac=0.0):
+        clean = np.full((512, 512, 4), 0.45, np.float32)
+        if sat_frac:
+            clean[: int(512 * sat_frac)] = 1.0
+        e = clean * scale / K
+        noisy = (K * rng.poisson(e) + rng.normal(0, sigma, clean.shape)) \
+            / scale
+        return jnp.asarray(np.clip(noisy, 0, 1).astype(np.float32))
+
+    def corr(K, sigma, **kw):
+        return float(adaptive_sigma_corr(synth(K, sigma, **kw),
+                                         jnp.float32(K),
+                                         jnp.float32(sigma),
+                                         jnp.float32(scale)))
+
+    def close(a, b):
+        return abs(a - b) < 1e-3       # float32 constant comparison
+
+    assert close(corr(1.0, 1.5), 1.03)    # low band (nsr ~ 0.017)
+    assert close(corr(10.0, 10.0), 1.08)  # mid band (nsr ~ 0.055)
+    assert close(corr(40.0, 30.0), 1.00)  # high band (nsr ~ 0.11)
+    # half-saturated + matching noise model -> clip boost fires (only
+    # ~57% of saturated pixels stay within the 2% white-clip window
+    # once noise is added, so sat_frac=0.5 ~ clip_frac 0.28)
+    assert close(corr(10.0, 10.0, sat_frac=0.5), 1.25)
+    # clipped but MAD/fit DISAGREE (model far above the frame's real
+    # noise) -> boost vetoed, band base kept
+    frame = synth(10.0, 10.0, sat_frac=0.5)
+    assert not close(float(adaptive_sigma_corr(frame, jnp.float32(30.0),
+                                               jnp.float32(25.0),
+                                               jnp.float32(scale))), 1.25)
+
+
+def test_vst_denoiser_adaptive_corr_runs():
+    """sigma_corr='adaptive' threads through VSTDenoiser end-to-end."""
+    den = VSTDenoiser(_IdentityModel(), None, guided=False,
+                      bias_corr=None, vst_type="asym",
+                      sigma_corr="adaptive")
+    x = np.random.rand(2, 64, 64).astype(np.float32)
+    out = np.asarray(den(jnp.asarray(x),
+                         np.zeros(len(FULL_X_GRID), np.float32),
+                         8.0, 10.0, 959.0))
+    assert out.shape == x.shape and np.isfinite(out).all()

@@ -175,7 +175,11 @@ class YOND:
                 refine_shrink_full_alpha=float(
                     self.pipe.extras.get("refine_shrink_full_alpha", 1.0)),
                 refine_shrink_mode=str(
-                    self.pipe.extras.get("refine_shrink_mode", "oriented")))
+                    self.pipe.extras.get("refine_shrink_mode", "oriented")),
+                # 'adaptive' | float | unset (reference 1.03); the
+                # measured blind rule lives in pipeline/denoiser.py
+                # (artifact docs/sigma_corr_blind_r5.json)
+                sigma_corr=self.pipe.extras.get("sigma_corr"))
         self.engine = YONDEngine(self.denoiser, self.pipe,
                                  biaslut=BiasLUT(),
                                  est_models=self.est_models,

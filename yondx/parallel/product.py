@@ -93,10 +93,21 @@ def iter_denoise_frame_sharded(mesh: Mesh, engine, bayer: np.ndarray,
     def one_pass(Kv, sv):
         curve = engine.biaslut.curve(max(Kv, 1e-4), sv) \
             if pipe.bias_corr else np.zeros(len(FULL_X_GRID), np.float32)
+        corr = den.sigma_corr
+        if corr == "adaptive":
+            # the blind rule reads full-frame statistics
+            # (pipeline/denoiser.py adaptive_sigma_corr); computed
+            # host-side per pass (like the engine, the second pass
+            # re-reads at its corrected (K, sigma)) and passed into the
+            # shard_map as the plain guidance scalar
+            from ..pipeline.denoiser import adaptive_sigma_corr
+            corr = float(adaptive_sigma_corr(
+                x, jnp.float32(max(Kv, 1e-4)), jnp.float32(sv),
+                jnp.float32(scale)))
         return spatial_denoise_sharded_pair(
             mesh, den.model.apply, den.params, x, curve, max(Kv, 1e-4),
             sv, scale, halo=halo, axis=axis, bias_corr=den.bias_corr,
-            exact_inverse=den.exact_inverse, sigma_corr=den.sigma_corr,
+            exact_inverse=den.exact_inverse, sigma_corr=corr,
             guided=den.guided, refine=den.refine, refine_k=den.refine_k,
             refine_beta=den.refine_beta, refine_floor=den.refine_floor)
 

@@ -29,6 +29,62 @@ from ..vst.lut import cheb_fit_curve, lookup_bias_curve_cheb
 
 from ..core.tiling import pad_to_multiple, unpad
 
+# ---- adaptive sigma_corr rule (round 5, VERDICT r4 Next #2) ---------
+# Thresholds measured in docs/sigma_corr_blind_r5.json (33 scenes x 8
+# corr values, product config, real flagship net): the optimal guidance
+# scale is content-dependent over 0.85-1.25 (oracle +0.24 dB vs the
+# fixed 1.03). The shipped rule reads three blind signals the pipeline
+# already computes and lands at +0.15 dB mean, worst scene -0.11 dB:
+#  - noise band (nsr, the VST normalization width): low-noise scenes
+#    keep 1.03; mid-noise scenes (where the refine stage can cleanly
+#    restore over-smoothed structure) take 1.08; high-noise scenes
+#    (restoration is noise-limited, over-smoothing loses real signal;
+#    every nsr>0.09 scene preferred <=1.08) take 1.00.
+#  - clip fraction: heavy black/white clipping biases the patch-
+#    statistics NLE low (clipped pixels carry compressed noise), so the
+#    net runs under-guided — the largest measured gains (+0.4..+1.2 dB:
+#    saturated disks, radial sweeps, the chart anchor) come from
+#    boosting to 1.25 there.
+#  - MAD/fit agreement: the boost is gated on the two independent
+#    estimators agreeing (|ratio-1| < 0.04) — on gradient-dominated
+#    scenes (ramps) the fit is inflated rather than deflated and the
+#    boost backfires (ramp_lo2 measured -0.75 dB at 1.25).
+# Reference parity note: the reference hardcodes 1.03
+# (YOND_SIDD.py:283-288); pass sigma_corr=1.03 for exact parity.
+ADAPTIVE_CORR_NSR_LO = 0.025
+ADAPTIVE_CORR_NSR_HI = 0.09
+ADAPTIVE_CORR_CLIP = 0.25
+ADAPTIVE_CORR_MAD_DEV = 0.04
+ADAPTIVE_CORR_VALUES = (1.03, 1.08, 1.00, 1.25)   # lo, mid, hi, clip
+
+
+def adaptive_sigma_corr(rggb, K, sigma, scale):
+    """Blind per-frame guidance scale (jit-safe; see rule notes above).
+
+    rggb: [..., H, W, 4] in [0, 1]; K, sigma in DN units; scale = wp-bl.
+    Returns a float32 scalar in {1.00, 1.03, 1.08, 1.25}. Precedence
+    (matching the measured grid search): hi-noise > clip-boost >
+    lo-noise > mid default.
+    """
+    from ..nle.robust import mad_self_estimate
+    c_lo, c_mid, c_hi, c_clip = ADAPTIVE_CORR_VALUES
+    lower = vst(jnp.zeros(()), sigma, gain=K)
+    upper = vst(jnp.full((), 1.0) * scale, sigma, gain=K)
+    nsr = 1.0 / (upper - lower)
+    clip_frac = jnp.mean((rggb < 0.02) | (rggb > 0.98))
+    mu = jnp.mean(jnp.clip(rggb, 0.0, 1.0))
+    v_fit = (K / scale) * mu + (sigma / scale) ** 2
+    m1, m2 = mad_self_estimate(rggb)
+    v_mad = m1 * mu + m2
+    madr = jnp.sqrt(jnp.maximum(v_mad, 0.0)
+                    / jnp.maximum(v_fit, 1e-30))
+    corr = jnp.where(nsr < ADAPTIVE_CORR_NSR_LO, c_lo, c_mid)
+    boost = (clip_frac > ADAPTIVE_CORR_CLIP) \
+        & (jnp.abs(madr - 1.0) < ADAPTIVE_CORR_MAD_DEV)
+    corr = jnp.where(boost, c_clip, corr)
+    corr = jnp.where(nsr > ADAPTIVE_CORR_NSR_HI, c_hi, corr)
+    return jnp.float32(corr)
+
 
 class VSTDenoiser:
     """Callable wrapper holding (model, params) and the static pipe config.
@@ -44,7 +100,8 @@ class VSTDenoiser:
                  refine_beta: float = 1.0, refine_floor: str = "bucket",
                  refine_shrink: bool = True, refine_shrink_lam: float = 1.0,
                  refine_shrink_full_alpha: float = 1.0,
-                 refine_shrink_mode: str = "oriented"):
+                 refine_shrink_mode: str = "oriented",
+                 sigma_corr=None):
         """fbi=True selects the blind-spot-network variant (reference
         YOND_SIDD.py:266-279): normalization by the VST output's own
         min/max instead of [VST(0), VST(scale)], and the network consumes
@@ -64,16 +121,22 @@ class VSTDenoiser:
         self.refine_shrink_lam = refine_shrink_lam
         self.refine_shrink_full_alpha = refine_shrink_full_alpha
         self.refine_shrink_mode = refine_shrink_mode
-        self.sigma_corr = 1.03 if bias_corr == "pre" else 1.00
+        # sigma_corr: None -> reference default (1.03 for the 'pre'
+        # bias path, YOND_SIDD.py:283-288); a float -> that fixed
+        # value; 'adaptive' -> the measured per-frame rule
+        # (adaptive_sigma_corr above, docs/sigma_corr_blind_r5.json)
+        if sigma_corr is None:
+            sigma_corr = 1.03 if bias_corr == "pre" else 1.00
+        self.sigma_corr = sigma_corr
         self.exact_inverse = bias_corr is None and vst_type == "exact"
         self._jit = jax.jit(self._denoise)
 
-    def _net(self, z, nsr):
+    def _net(self, z, nsr, corr):
         """Pad to /pad_base, run the model on clipped input, unpad."""
         zp, p2d = pad_to_multiple(z, self.pad_base)
         zin = jnp.clip(zp, 0.0, 1.0)
         if self.guided:
-            t = jnp.broadcast_to(nsr * self.sigma_corr, (zin.shape[0],))
+            t = jnp.broadcast_to(nsr * corr, (zin.shape[0],))
             out = self.model.apply(self.params, zin, t)
         else:
             out = self.model.apply(self.params, zin)
@@ -81,6 +144,8 @@ class VSTDenoiser:
         return unpad(out, p2d)
 
     def _denoise(self, lr_rggb, curve, K, sigma, scale):
+        corr = adaptive_sigma_corr(lr_rggb, K, sigma, scale) \
+            if self.sigma_corr == "adaptive" else self.sigma_corr
         x = lr_rggb * scale
         z = vst(x, sigma, gain=K)
         if self.bias_corr == "pre":
@@ -101,7 +166,7 @@ class VSTDenoiser:
             z_raw = z
         else:
             z_noisy = z
-            z = self._net(z, nsr)
+            z = self._net(z, nsr, corr)
             z_raw = z
             if self.refine:
                 # method-noise Wiener blend (do-no-harm; see refine.py).

@@ -192,13 +192,13 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
 
     apply_fn = model.apply
 
-    def net(z, nsr):
+    def net(z, nsr, corr):
         zp, p2d = pad_to_multiple(z, pad_base)
         zin = jnp.clip(zp, 0.0, 1.0)
         if compute_dtype is not None:
             zin = zin.astype(compute_dtype)
         if guided:
-            t = jnp.broadcast_to(nsr * sigma_corr, (zin.shape[0],))
+            t = jnp.broadcast_to(nsr * corr, (zin.shape[0],))
             out = apply_fn(params, zin, t)
         else:
             out = apply_fn(params, zin)
@@ -206,6 +206,15 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
         return unpad(out, p2d)
 
     def denoise(x01, K, sigma, scale):
+        if sigma_corr == "adaptive":
+            # measured blind rule (pipeline/denoiser.py, artifact
+            # docs/sigma_corr_blind_r5.json); per denoise call so the
+            # second pass re-reads the signals at its corrected (K,
+            # sigma), matching the orchestrated engine
+            from .denoiser import adaptive_sigma_corr
+            corr = adaptive_sigma_corr(x01, K, sigma, scale)
+        else:
+            corr = sigma_corr
         xd = x01 * scale
         z = vst(xd, sigma, gain=K)
         if bias_corr == "pre":
@@ -220,7 +229,7 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
         nsr = 1.0 / (upper - lower)
         z = (z - lower) * nsr
         z_noisy = z
-        z = net(z, nsr)
+        z = net(z, nsr, corr)
         z_raw = z
         if refine:
             # method-noise Wiener blend (do-no-harm; see refine.py)
