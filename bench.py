@@ -56,6 +56,12 @@ def main():
                     help="override the fused path's banded-NLE sample "
                          "budget (0 = full-frame moments, i.e. banding "
                          "off; default = the library default)")
+    ap.add_argument("--sigma-corr", default="adaptive",
+                    help="guidance scale: 'adaptive' (default, the "
+                         "product config — blind per-frame rule, "
+                         "pipeline/denoiser.py, v2 A/B +0.10/+0.12 dB "
+                         "with no do-no-harm regressions) or a fixed "
+                         "float (1.03 = reference parity)")
     ap.add_argument("--frames", type=int, default=1,
                     help="N > 1 = the multi-frame product path "
                          "(video/burst): N independent frames with "
@@ -122,6 +128,8 @@ def main():
     # (bucket floor) + the directional iteration policy, in ONE dispatch
     if cli.frames > 1:
         kw["batch_mode"] = "frames"
+    kw["sigma_corr"] = cli.sigma_corr if cli.sigma_corr == "adaptive" \
+        else float(cli.sigma_corr)
     fused = make_fused_blind_denoiser(model, params, lut.lut, guided=True,
                                       bias_corr="pre", max_iter=1,
                                       refine=cli.refine == "on", **kw)
