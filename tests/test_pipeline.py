@@ -259,3 +259,32 @@ def test_vst_denoiser_adaptive_corr_runs():
                          np.zeros(len(FULL_X_GRID), np.float32),
                          8.0, 10.0, 959.0))
     assert out.shape == x.shape and np.isfinite(out).all()
+
+
+def test_tiled_adaptive_corr_is_frame_scoped():
+    """With sigma_corr='adaptive', the tiled runner must resolve the
+    guidance scale ONCE per frame (whole-frame statistics), not per
+    tile batch — per-batch resolution steps the scale between
+    neighboring tiles when batches straddle the clip threshold (a
+    seam). With a t-sensitive model, tiled == whole-frame iff the same
+    corr reaches every tile."""
+    class _TModel:
+        """Output shifts by the guidance scalar — exposes corr in the
+        output so a corr mismatch between tiles breaks equality."""
+
+        def apply(self, params, x, t):
+            return jnp.clip(x + 0.05 * t[:, None, None, None], 0.0, 1.0)
+
+    den = VSTDenoiser(_TModel(), None, guided=True, bias_corr=None,
+                      vst_type="asym", sigma_corr="adaptive")
+    rng = np.random.default_rng(9)
+    frame = np.full((256, 256), 0.4, np.float32)
+    frame[:, :96] = 1.0                      # saturated band: some tiles
+    frame += rng.normal(0, 0.01, frame.shape).astype(np.float32)
+    frame = np.clip(frame, 0, 1)
+    curve = np.zeros(len(FULL_X_GRID), np.float32)
+    runner = TiledRunner(den, tile=64, halo=16, batch=2)
+    tiled, _ = runner.run_pair(frame, curve, 8.0, 10.0, 959.0)
+    whole, _ = den.denoise_pair(jnp.asarray(frame), curve,
+                                8.0, 10.0, 959.0)
+    np.testing.assert_allclose(tiled, np.asarray(whole), atol=2e-3)

@@ -130,6 +130,9 @@ class VSTDenoiser:
         self.sigma_corr = sigma_corr
         self.exact_inverse = bias_corr is None and vst_type == "exact"
         self._jit = jax.jit(self._denoise)
+        # override entry: corr as a traced scalar (one graph serves all
+        # values — used by TiledRunner's frame-level adaptive corr)
+        self._jit_corr = jax.jit(self._denoise_core)
 
     def _net(self, z, nsr, corr):
         """Pad to /pad_base, run the model on clipped input, unpad."""
@@ -144,8 +147,18 @@ class VSTDenoiser:
         return unpad(out, p2d)
 
     def _denoise(self, lr_rggb, curve, K, sigma, scale):
+        # 'adaptive' resolves IN-GRAPH from the call's own pixels: for
+        # whole-frame / scene-batch calls the statistics pool over
+        # exactly one scene (the right scope). Tiled runners must NOT
+        # let each tile batch re-read the rule (seam risk when batches
+        # straddle the clip threshold) — they compute the frame-level
+        # corr once and pass it through denoise_pair(corr=...), which
+        # routes to _denoise_core directly.
         corr = adaptive_sigma_corr(lr_rggb, K, sigma, scale) \
             if self.sigma_corr == "adaptive" else self.sigma_corr
+        return self._denoise_core(lr_rggb, curve, K, sigma, scale, corr)
+
+    def _denoise_core(self, lr_rggb, curve, K, sigma, scale, corr):
         x = lr_rggb * scale
         z = vst(x, sigma, gain=K)
         if self.bias_corr == "pre":
@@ -198,17 +211,21 @@ class VSTDenoiser:
     def __call__(self, lr_bayer, curve, K, sigma, scale):
         return self.denoise_pair(lr_bayer, curve, K, sigma, scale)[0]
 
-    def denoise_pair(self, lr_bayer, curve, K, sigma, scale):
+    def denoise_pair(self, lr_bayer, curve, K, sigma, scale, corr=None):
         """-> (output, raw_net_output) bayer pair; they differ only when
-        refine=True (the engine feeds the raw one to CollabNLF)."""
+        refine=True (the engine feeds the raw one to CollabNLF).
+        corr: optional guidance-scale override (traced scalar — see
+        _denoise); None = the instance's sigma_corr policy."""
         single = lr_bayer.ndim == 2
         if single:
             lr_bayer = lr_bayer[None]
         rggb = bayer2rggb(jnp.asarray(lr_bayer))
-        out, raw = self._jit(rggb,
-                             jnp.asarray(curve, jnp.float32),
-                             jnp.float32(K), jnp.float32(sigma),
-                             jnp.float32(scale))
+        args = (rggb, jnp.asarray(curve, jnp.float32),
+                jnp.float32(K), jnp.float32(sigma), jnp.float32(scale))
+        if corr is None:
+            out, raw = self._jit(*args)
+        else:
+            out, raw = self._jit_corr(*args, jnp.float32(corr))
         out, raw = rggb2bayer(out), rggb2bayer(raw)
         return (out[0], raw[0]) if single else (out, raw)
 

@@ -50,6 +50,17 @@ class TiledRunner:
         tiles, plan = np_tile_overlap(bayer, self.tile, self.halo)
         ny, nx, _, _ = tile_grid(H, W, self.tile, self.halo)
         n = tiles.shape[0]
+        # adaptive sigma_corr must be resolved at FRAME scope: letting
+        # each tile batch re-read the rule from its own pixels risks a
+        # guidance-scale step (1.08 vs 1.25) between neighboring tiles
+        # when batches straddle the clip threshold — a visible seam.
+        # Compute once on the whole frame, pass as a traced override.
+        corr = None
+        if getattr(self.denoiser, "sigma_corr", None) == "adaptive":
+            from .denoiser import adaptive_sigma_corr
+            corr = float(adaptive_sigma_corr(
+                bayer2rggb(jnp.asarray(bayer, jnp.float32)),
+                jnp.float32(K), jnp.float32(sigma), jnp.float32(scale)))
         # pad the batch to a multiple of self.batch (static shapes)
         nb = -(-n // self.batch) * self.batch
         if nb != n:
@@ -59,7 +70,10 @@ class TiledRunner:
         outs, raws = [], []
         for s in range(0, nb, self.batch):
             chunk = jnp.asarray(tiles[s:s + self.batch])
-            if pair is not None:
+            if pair is not None and corr is not None:
+                dn, dn_raw = pair(chunk, curve, K, sigma, scale,
+                                  corr=corr)
+            elif pair is not None:
                 dn, dn_raw = pair(chunk, curve, K, sigma, scale)
             else:
                 dn = self.denoiser(chunk, curve, K, sigma, scale)
