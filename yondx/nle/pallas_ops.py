@@ -23,57 +23,100 @@ import jax.numpy as jnp
 from .boxfilter import box_mean, stdfilt
 
 
-def _hbox_valid(x, k):
-    """Horizontal valid box sum: [H, W] -> [H, W-k+1] (static k unroll)."""
-    out_w = x.shape[1] - k + 1
-    acc = x[:, 0:out_w]
-    for d in range(1, k):
-        acc = acc + x[:, d:d + out_w]
+def _box_valid_axis(x, k, axis):
+    """Valid box sum along `axis` by shift-doubling: T_1 = x,
+    T_2j = T_j + shift(T_j, j), then k decomposed in binary. log2(k)
+    adds and O(1) live arrays instead of the naive k shifted-slice adds
+    (which Mosaic materializes as k full-size VMEM copies — the naive
+    form OOMs the 16 MB scoped vmem at production widths)."""
+    n = x.shape[axis]
+
+    def shift_slice(t, off, length):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(off, off + length)
+        return t[tuple(idx)]
+
+    out_n = n - k + 1
+    # powers[j] = valid box sum of width 2^j over a shrinking extent
+    acc = None
+    acc_off = 0
+    t = x
+    t_len = n
+    width = 1
+    rem = k
+    while True:
+        if rem & 1:
+            piece = shift_slice(t, acc_off, out_n)
+            acc = piece if acc is None else acc + piece
+            acc_off += width
+        rem >>= 1
+        if not rem:
+            break
+        t = shift_slice(t, 0, t_len - width) + shift_slice(t, width,
+                                                           t_len - width)
+        t_len -= width
+        width <<= 1
     return acc
+
+
+def _hbox_valid(x, k):
+    """Horizontal valid box sum: [H, W] -> [H, W-k+1]."""
+    return _box_valid_axis(x, k, 1)
 
 
 def _vbox_valid(x, k):
-    out_h = x.shape[0] - k + 1
-    acc = x[0:out_h, :]
-    for d in range(1, k):
-        acc = acc + x[d:d + out_h, :]
-    return acc
+    return _box_valid_axis(x, k, 0)
 
 
 def _blur_valid(x, k):
     return _vbox_valid(_hbox_valid(x, k), k) * (1.0 / (k * k))
 
 
-def _moments_kernel(k, inner, band, x_hbm, mean_ref, var_ref, tex_ref,
-                    scratch, sem):
-    """Grid step (c, i): DMA rows [i*band, i*band + band + 2P) of plane c
-    from HBM, compute the three maps for the central `band` rows."""
+def _moments_kernel(k, inner, band, wtile, ph, pw, x_hbm, mean_ref,
+                    var_ref, tex_ref, scratch, sem):
+    """Grid step (c, i, j): DMA the halo'd (band x wtile) block of plane c
+    from HBM, compute the three maps for the central band x wtile cells.
+
+    ph/pw are the halo sizes, rounded UP from the minimum P = k//2 +
+    inner//2 so the DMA'd slice is tile-aligned (Mosaic requires sublane
+    slices in multiples of 8 and lane extents in multiples of 128; the
+    exact-P halo of 174x(WP+46) was the compile failure previous rounds
+    mistook for a compile-service outage). The valid-conv outputs are
+    sliced at the generalized offsets ph-k//2 (mean/var) and
+    ph-k//2-inner//2 (texture) instead of the old inner//2 / 0."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    P = k // 2 + inner // 2
-    off = inner // 2
+    kh = k // 2
+    ih = inner // 2
     c = pl.program_id(0)
     i = pl.program_id(1)
+    j = pl.program_id(2)
     copy = pltpu.make_async_copy(
-        x_hbm.at[c, pl.ds(i * band, band + 2 * P), :], scratch, sem)
+        x_hbm.at[c, pl.ds(i * band, band + 2 * ph),
+                 pl.ds(j * wtile, wtile + 2 * pw)], scratch, sem)
     copy.start()
     copy.wait()
-    x = scratch[:]                   # [band + 2P, WP + 2P]
+    x = scratch[:]                   # [band + 2*ph, wtile + 2*pw]
     WP = mean_ref.shape[2]
     TH = band
 
-    m = _blur_valid(x, k)            # [band + 2*off, WP + 2*off]
+    oh = ph - kh                     # first centered output row of blur_k
+    ow = pw - kh
+    m = _blur_valid(x, k)            # [band + 2*ph - k + 1, ...]
     m2 = _blur_valid(x * x, k)
-    mc = m[off:off + TH, off:off + WP]
-    m2c = m2[off:off + TH, off:off + WP]
+    mc = m[oh:oh + TH, ow:ow + WP]
+    m2c = m2[oh:oh + TH, ow:ow + WP]
     mean_ref[0] = mc
     var_ref[0] = jnp.maximum(m2c - mc * mc, 0.0)
 
-    t1 = _blur_valid(x, inner)       # [band + k - 1, WP + k - 1]
-    tm = _blur_valid(t1, k)          # [band, WP]
+    t1 = _blur_valid(x, inner)       # centers shift by ih
+    tm = _blur_valid(t1, k)
     tm2 = _blur_valid(t1 * t1, k)
-    tex_ref[0] = jnp.sqrt(jnp.maximum(tm2 - tm * tm, 0.0))
+    oh2 = ph - kh - ih
+    ow2 = pw - kh - ih
+    tex = jnp.sqrt(jnp.maximum(tm2 - tm * tm, 0.0))
+    tex_ref[0] = tex[oh2:oh2 + TH, ow2:ow2 + WP]
 
 
 def _pallas_moments_planes(x, k: int, inner: int, band: int = 128,
@@ -86,23 +129,37 @@ def _pallas_moments_planes(x, k: int, inner: int, band: int = 128,
 
     C, H, W = x.shape
     P = k // 2 + inner // 2
+    # tile-aligned halos (see _moments_kernel): band rows start on a
+    # multiple of `band` (itself a multiple of 8), so the DMA'd extent
+    # band + 2*ph must be a multiple of 8 -> ph in multiples of 4; use 8
+    # so the reflect pad offsets stay sublane-aligned too. Width: wtile
+    # starts are multiples of 128 and the scratch's lane extent
+    # wtile + 2*pw must be a multiple of 128.
+    ph = -(-P // 8) * 8
+    pw = -(-P // 64) * 64
     nb = -(-H // band)
     Hp = nb * band
-    WP = -(-W // 128) * 128
-    pad_h = (P, P + Hp - H)
-    pad_w = (P, P + WP - W)
+    # width tiles bound the kernel's live VMEM (the three blur pipelines
+    # hold ~3 full-tile fp32 arrays each; a full 2k-wide plane OOM'd the
+    # 16 MB scoped vmem) while keeping the halo overhead ~2*pw/wtile
+    wtile = min(1024, -(-W // 128) * 128)
+    nw = -(-W // wtile)
+    WP = nw * wtile
+    pad_h = (ph, ph + Hp - H)
+    pad_w = (pw, pw + WP - W)
     xp = jnp.pad(x, ((0, 0), pad_h, pad_w), mode="reflect")
 
-    kern = functools.partial(_moments_kernel, k, inner, band)
+    kern = functools.partial(_moments_kernel, k, inner, band, wtile, ph, pw)
     mean, var, tex = pl.pallas_call(
         kern,
-        grid=(C, nb),
+        grid=(C, nb, nw),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec((1, band, WP), lambda c, i: (c, i, 0),
+        out_specs=[pl.BlockSpec((1, band, wtile),
+                                lambda c, i, j: (c, i, j),
                                 memory_space=pltpu.VMEM)] * 3,
         out_shape=[jax.ShapeDtypeStruct((C, Hp, WP), jnp.float32)] * 3,
         scratch_shapes=[
-            pltpu.VMEM((band + 2 * P, WP + 2 * P), jnp.float32),
+            pltpu.VMEM((band + 2 * ph, wtile + 2 * pw), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
