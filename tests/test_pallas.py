@@ -28,3 +28,18 @@ def test_fused_moments_cpu_fallback():
     mean, var, tex = fused_moments(x, k=29)  # CPU backend -> XLA path
     assert mean.shape == x.shape and var.shape == x.shape
     assert np.isfinite(np.asarray(tex)).all()
+
+
+def test_fused_moments_width_tiled():
+    """Width > wtile (1024) exercises the grid's lane-tiling dimension
+    (nw >= 2) added when the full-width kernel OOM'd scoped vmem."""
+    rng = np.random.default_rng(3)
+    x = rng.random((1, 96, 1300, 4)).astype(np.float32)
+    k = 29
+    mean_ref = np.asarray(box_mean(jnp.asarray(x), k))
+    var_ref = np.asarray(stdfilt(jnp.asarray(x), k)) ** 2
+
+    mean, var, _ = fused_moments(jnp.asarray(x), k=k, interpret=True,
+                                 band=64)
+    np.testing.assert_allclose(np.asarray(mean), mean_ref, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(var), var_ref, atol=5e-5)
