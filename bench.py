@@ -62,6 +62,12 @@ def main():
                          "pipeline/denoiser.py, v2 A/B +0.10/+0.12 dB "
                          "with no do-no-harm regressions) or a fixed "
                          "float (1.03 = reference parity)")
+    ap.add_argument("--pallas-nle", default="off", choices=["on", "off"],
+                    help="compute the NLE box statistics with the Pallas "
+                         "band kernel (nle/pallas_ops.py, one HBM pass) "
+                         "instead of the fused XLA conv path — hardware "
+                         "A/B flag; 'off' (default) = the shipped XLA "
+                         "path")
     ap.add_argument("--frames", type=int, default=1,
                     help="N > 1 = the multi-frame product path "
                          "(video/burst): N independent frames with "
@@ -130,6 +136,8 @@ def main():
         kw["batch_mode"] = "frames"
     kw["sigma_corr"] = cli.sigma_corr if cli.sigma_corr == "adaptive" \
         else float(cli.sigma_corr)
+    if cli.pallas_nle == "on":
+        kw["use_pallas_nle"] = True
     fused = make_fused_blind_denoiser(model, params, lut.lut, guided=True,
                                       bias_corr="pre", max_iter=1,
                                       refine=cli.refine == "on", **kw)
