@@ -23,49 +23,28 @@ import jax.numpy as jnp
 from .boxfilter import box_mean, stdfilt
 
 
-def _box_valid_axis(x, k, axis):
-    """Valid box sum along `axis` by shift-doubling: T_1 = x,
-    T_2j = T_j + shift(T_j, j), then k decomposed in binary. log2(k)
-    adds and O(1) live arrays instead of the naive k shifted-slice adds
-    (which Mosaic materializes as k full-size VMEM copies — the naive
-    form OOMs the 16 MB scoped vmem at production widths)."""
-    n = x.shape[axis]
+def _hbox_valid(x, k):
+    """Horizontal valid box sum: [H, W] -> [H, W-k+1] (static k unroll).
 
-    def shift_slice(t, off, length):
-        idx = [slice(None)] * x.ndim
-        idx[axis] = slice(off, off + length)
-        return t[tuple(idx)]
-
-    out_n = n - k + 1
-    # powers[j] = valid box sum of width 2^j over a shrinking extent
-    acc = None
-    acc_off = 0
-    t = x
-    t_len = n
-    width = 1
-    rem = k
-    while True:
-        if rem & 1:
-            piece = shift_slice(t, acc_off, out_n)
-            acc = piece if acc is None else acc + piece
-            acc_off += width
-        rem >>= 1
-        if not rem:
-            break
-        t = shift_slice(t, 0, t_len - width) + shift_slice(t, width,
-                                                           t_len - width)
-        t_len -= width
-        width <<= 1
+    Deliberately the naive k shifted-slice adds: a log2(k)
+    shift-doubling variant (fewer adds, O(1) live arrays) sends the
+    Mosaic compiler into a non-terminating compile (>6 min vs 8 s for
+    this form, and a hung remote compile wedges the axon tunnel for
+    ~35 min). VMEM pressure from the k materialized copies is bounded
+    by the width tiling in _pallas_moments_planes instead."""
+    out_w = x.shape[1] - k + 1
+    acc = x[:, 0:out_w]
+    for d in range(1, k):
+        acc = acc + x[:, d:d + out_w]
     return acc
 
 
-def _hbox_valid(x, k):
-    """Horizontal valid box sum: [H, W] -> [H, W-k+1]."""
-    return _box_valid_axis(x, k, 1)
-
-
 def _vbox_valid(x, k):
-    return _box_valid_axis(x, k, 0)
+    out_h = x.shape[0] - k + 1
+    acc = x[0:out_h, :]
+    for d in range(1, k):
+        acc = acc + x[d:d + out_h, :]
+    return acc
 
 
 def _blur_valid(x, k):
@@ -139,10 +118,13 @@ def _pallas_moments_planes(x, k: int, inner: int, band: int = 128,
     pw = -(-P // 64) * 64
     nb = -(-H // band)
     Hp = nb * band
-    # width tiles bound the kernel's live VMEM (the three blur pipelines
-    # hold ~3 full-tile fp32 arrays each; a full 2k-wide plane OOM'd the
-    # 16 MB scoped vmem) while keeping the halo overhead ~2*pw/wtile
-    wtile = min(1024, -(-W // 128) * 128)
+    # width tiles bound the kernel's live VMEM: the naive unrolled box
+    # sums materialize ~k shifted copies of the scratch tile (49.95 MB
+    # scoped vmem at a full 2k-wide plane vs the 16 MB limit). wtile=256
+    # + 2*pw = the 384-lane scratch of the proven-compiling canary
+    # (~8 MB scoped at k=29), paid for with a 2x DMA halo overhead —
+    # still one HBM pass vs the XLA path's ~24
+    wtile = min(256, -(-W // 128) * 128)
     nw = -(-W // wtile)
     WP = nw * wtile
     pad_h = (ph, ph + Hp - H)
