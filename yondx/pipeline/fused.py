@@ -253,14 +253,35 @@ def make_fused_blind_denoiser(model, params, lut: np.ndarray, *,
 
     if use_pallas_nle:
         from ..nle.pallas_ops import fused_moments
+        # same contiguous-row-band sample budget as the XLA path (the
+        # banding, not the kernel, is the bigger lever: full-frame
+        # pallas stats measured 71.3 MP/s end-to-end vs the banded XLA
+        # default's 110.1); the kernel's reflect borders make band
+        # outputs window-exact only inside the crop margin, identical
+        # treatment to the conv path
+        m_pal = k // 2 + (k // 3 * 2 + 1) // 2
 
         def self_fit(x):
+            plan = _band_plan(x.shape, nle_max_px, _NLE_BAND, m_pal)
+            if plan is not None:
+                x = _take_bands(x, *plan, _NLE_BAND)
             mean, var, tex = fused_moments(x, k=k)
+            if plan is not None:
+                mean, var, tex = (a[..., m_pal:-m_pal, :, :]
+                                  for a in (mean, var, tex))
             return _nlf_core(var, mean, tex, step, th_impl, th_subsample)
 
         def collab_fit(lr, dn):
+            plan = _band_plan(lr.shape, nle_max_px, _NLE_BAND, m_pal)
+            if plan is not None:
+                lr = _take_bands(lr, *plan, _NLE_BAND)
+                dn = _take_bands(dn, *plan, _NLE_BAND)
             _, var_lr, _ = fused_moments(lr, k=k)
             mean_dn, var_dn, _ = fused_moments(dn, k=k)
+            if plan is not None:
+                var_lr, mean_dn, var_dn = (a[..., m_pal:-m_pal, :, :]
+                                           for a in (var_lr, mean_dn,
+                                                     var_dn))
             return _nlf_core(var_lr - var_dn, mean_dn,
                              jnp.sqrt(var_dn), step, th_impl, th_subsample)
     else:
